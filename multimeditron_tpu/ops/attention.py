@@ -1,0 +1,100 @@
+"""Attention dispatch + pure-XLA reference implementation.
+
+``attention`` is the single entry point the models call; it routes to the
+Pallas flash kernel on TPU and to a fused-by-XLA reference everywhere else
+(CPU tests, interpret debugging). This replaces the reference framework's
+dependency on the flash-attn 2 CUDA extension (``model/model.py:253``,
+``pyproject.toml:39-41``) with a TPU-native kernel.
+
+All implementations share one contract:
+  q: (B, H, Sq, D)   k, v: (B, Hkv, Skv, D) with H % Hkv == 0 (GQA)
+  kv_mask: optional (B, Skv) bool — True for valid key/value positions
+  causal: lower-triangular masking aligned to the END of the kv sequence
+          when Sq != Skv (decode: the query block sits at the end).
+Returns (B, H, Sq, D) in q.dtype. Rows with no valid keys return zeros.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def attention_xla(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Reference attention in plain XLA ops (fp32 softmax accumulation)."""
+    B, H, Sq, D = q.shape
+    _, Hkv, Skv, _ = k.shape
+    assert H % Hkv == 0, f"GQA requires H % Hkv == 0, got {H=} {Hkv=}"
+    group = H // Hkv
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+
+    if group > 1:
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    s = s * sm_scale
+
+    mask = jnp.ones((B, 1, Sq, Skv), dtype=bool)
+    if causal:
+        # Align the causal diagonal to the end of the kv axis so a decode
+        # step (Sq=1, Skv=cache_len) attends to the whole prefix.
+        q_pos = jnp.arange(Sq)[:, None] + (Skv - Sq)
+        k_pos = jnp.arange(Skv)[None, :]
+        mask = mask & (q_pos >= k_pos)[None, None]
+    if kv_mask is not None:
+        mask = mask & kv_mask[:, None, None, :].astype(bool)
+
+    s = jnp.where(mask, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    # Fully-masked rows (l == 0 after exp underflow of NEG_INF-NEG_INF=0...)
+    # are handled by zeroing: if every position was NEG_INF, p == 1 at the
+    # masked slots; explicitly zero them instead.
+    p = jnp.where(mask, p, 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    out = out / jnp.maximum(l, 1e-30)
+    out = jnp.where(l > 0, out, 0.0)
+    return out.astype(q.dtype)
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Dispatching attention entry point used by all models."""
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return attention_xla(q, k, v, kv_mask=kv_mask, causal=causal, sm_scale=sm_scale)
+    if impl in ("pallas", "pallas_interpret"):
+        from multimeditron_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v,
+            kv_mask=kv_mask,
+            causal=causal,
+            sm_scale=sm_scale,
+            interpret=(impl == "pallas_interpret"),
+        )
+    raise ValueError(f"Unknown attention impl {impl!r}")
