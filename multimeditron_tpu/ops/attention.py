@@ -31,6 +31,7 @@ def attention_xla(
     kv_mask: Optional[jax.Array] = None,
     causal: bool = True,
     sm_scale: Optional[float] = None,
+    causal_offset: Optional[int] = None,
 ) -> jax.Array:
     """Reference attention in plain XLA ops (fp32 softmax accumulation)."""
     B, H, Sq, D = q.shape
@@ -49,9 +50,11 @@ def attention_xla(
 
     mask = jnp.ones((B, 1, Sq, Skv), dtype=bool)
     if causal:
-        # Align the causal diagonal to the end of the kv axis so a decode
-        # step (Sq=1, Skv=cache_len) attends to the whole prefix.
-        q_pos = jnp.arange(Sq)[:, None] + (Skv - Sq)
+        # Default: align the causal diagonal to the end of the kv axis so a
+        # decode step (Sq=1, Skv=cache_len) attends to the whole prefix.
+        # Prefill-into-cache passes causal_offset=0 (q row i <-> cache slot i).
+        offset = (Skv - Sq) if causal_offset is None else causal_offset
+        q_pos = jnp.arange(Sq)[:, None] + offset
         k_pos = jnp.arange(Skv)[None, :]
         mask = mask & (q_pos >= k_pos)[None, None]
     if kv_mask is not None:
@@ -81,12 +84,16 @@ def attention(
     causal: bool = True,
     sm_scale: Optional[float] = None,
     impl: Optional[str] = None,
+    causal_offset: Optional[int] = None,
 ) -> jax.Array:
     """Dispatching attention entry point used by all models."""
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
-        return attention_xla(q, k, v, kv_mask=kv_mask, causal=causal, sm_scale=sm_scale)
+        return attention_xla(
+            q, k, v, kv_mask=kv_mask, causal=causal, sm_scale=sm_scale,
+            causal_offset=causal_offset,
+        )
     if impl in ("pallas", "pallas_interpret"):
         from multimeditron_tpu.ops.flash_attention import flash_attention
 
@@ -95,6 +102,7 @@ def attention(
             kv_mask=kv_mask,
             causal=causal,
             sm_scale=sm_scale,
+            causal_offset=causal_offset,
             interpret=(impl == "pallas_interpret"),
         )
     raise ValueError(f"Unknown attention impl {impl!r}")

@@ -484,10 +484,13 @@ def flash_attention(
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
+    causal_offset: Optional[int] = None,
 ) -> jax.Array:
     """Flash attention with automatic padding to kernel tile constraints.
 
-    See module docstring for the shape contract.
+    See module docstring for the shape contract. ``causal_offset`` overrides
+    the default end-alignment (q global position = local + offset); prefill
+    into a longer cache passes 0.
     """
     B, H, Sq, D = q.shape
     _, Hkv, Skv, Dk = k.shape
@@ -505,7 +508,7 @@ def flash_attention(
 
     # causal alignment: q global position = local + (Skv - Sq), computed on
     # ORIGINAL lengths; q/k padding goes at the end and is masked off.
-    offset = Skv - Sq
+    offset = (Skv - Sq) if causal_offset is None else int(causal_offset)
 
     needs_kv_pad = Skv_p != Skv
     if needs_kv_pad and kv_mask is None:
