@@ -114,3 +114,87 @@ def load_llama(path: str, dtype=None):
     cfg = LlamaConfig.from_hf_dict(hf_cfg)
     state = load_hf_state_dict(path)
     return cfg, llama_params_from_state_dict(state, cfg, dtype=dtype)
+
+
+# ----------------------------------------------------------------------
+# CLIP / SigLIP vision towers
+# ----------------------------------------------------------------------
+def vit_params_from_state_dict(
+    state: Mapping[str, Any],
+    cfg,
+    prefix: str = "vision_model.",
+    dtype=None,
+) -> Params:
+    """Map an HF CLIPVisionModel/SiglipVisionModel state dict to our pytree.
+
+    The patch conv weight (D, 3, P, P) becomes a (P*P*3, D) matmul operand
+    ordered to match :func:`multimeditron_tpu.models.vit.patchify`
+    ((i, j, c) patch-vector layout).
+    """
+    import jax.numpy as jnp
+
+    dtype = dtype or cfg.dtype
+    g = lambda k: _np(state[prefix + k])
+    t = lambda w: np.ascontiguousarray(w.T)
+    ident = lambda w: w
+    L = cfg.num_layers
+
+    def stack(fmt: str, transform):
+        return jnp.asarray(
+            np.stack([transform(g(fmt.format(i))) for i in range(L)]), dtype=dtype
+        )
+
+    conv_w = g("embeddings.patch_embedding.weight")  # (D, 3, P, P)
+    D, C, P, _ = conv_w.shape
+    patch_proj = conv_w.transpose(2, 3, 1, 0).reshape(P * P * C, D)
+
+    params: Params = {
+        "patch_proj": jnp.asarray(patch_proj, dtype=dtype),
+        "position_embedding": jnp.asarray(
+            g("embeddings.position_embedding.weight"), dtype=dtype
+        ),
+        "layers": {
+            "ln1_w": stack("encoder.layers.{}.layer_norm1.weight", ident),
+            "ln1_b": stack("encoder.layers.{}.layer_norm1.bias", ident),
+            "q_proj": stack("encoder.layers.{}.self_attn.q_proj.weight", t),
+            "q_bias": stack("encoder.layers.{}.self_attn.q_proj.bias", ident),
+            "k_proj": stack("encoder.layers.{}.self_attn.k_proj.weight", t),
+            "k_bias": stack("encoder.layers.{}.self_attn.k_proj.bias", ident),
+            "v_proj": stack("encoder.layers.{}.self_attn.v_proj.weight", t),
+            "v_bias": stack("encoder.layers.{}.self_attn.v_proj.bias", ident),
+            "o_proj": stack("encoder.layers.{}.self_attn.out_proj.weight", t),
+            "o_bias": stack("encoder.layers.{}.self_attn.out_proj.bias", ident),
+            "ln2_w": stack("encoder.layers.{}.layer_norm2.weight", ident),
+            "ln2_b": stack("encoder.layers.{}.layer_norm2.bias", ident),
+            "fc1": stack("encoder.layers.{}.mlp.fc1.weight", t),
+            "fc1_bias": stack("encoder.layers.{}.mlp.fc1.bias", ident),
+            "fc2": stack("encoder.layers.{}.mlp.fc2.weight", t),
+            "fc2_bias": stack("encoder.layers.{}.mlp.fc2.bias", ident),
+        },
+        "post_ln_w": jnp.asarray(g("post_layernorm.weight"), dtype=dtype),
+        "post_ln_b": jnp.asarray(g("post_layernorm.bias"), dtype=dtype),
+    }
+    if cfg.patch_bias:
+        params["patch_bias"] = jnp.asarray(
+            g("embeddings.patch_embedding.bias"), dtype=dtype
+        )
+    if cfg.use_cls_token:
+        params["cls_token"] = jnp.asarray(g("embeddings.class_embedding"), dtype=dtype)
+    if cfg.use_pre_layernorm:
+        params["pre_ln_w"] = jnp.asarray(g("pre_layrnorm.weight"), dtype=dtype)
+        params["pre_ln_b"] = jnp.asarray(g("pre_layrnorm.bias"), dtype=dtype)
+    return params
+
+
+def load_clip_vision(path: str, dtype=None):
+    """Load (ViTConfig, params) from an HF CLIP/SigLIP checkpoint dir."""
+    from multimeditron_tpu.models.vit import ViTConfig
+
+    hf_cfg = load_hf_config(path)
+    model_type = hf_cfg.get("model_type", "clip")
+    if "siglip" in model_type:
+        cfg = ViTConfig.siglip_from_hf_dict(hf_cfg)
+    else:
+        cfg = ViTConfig.clip_from_hf_dict(hf_cfg)
+    state = load_hf_state_dict(path)
+    return cfg, vit_params_from_state_dict(state, cfg, dtype=dtype)
