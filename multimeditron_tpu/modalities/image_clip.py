@@ -1,0 +1,173 @@
+"""Single-CLIP image modality (``meditron_clip``).
+
+Capability parity with the reference's ``ImageModality``
+(``model/modalities/image_modality.py``): CLIP/SigLIP vision tower, CLS
+dropped, MLP projector into the LLM embedding space, optional 2-D position
+ids for the image patch grid.
+
+TPU-first differences: the tower is the functional ViT (patchify-as-matmul
++ flash attention) and the per-image ``encode`` is a pure function fused
+into the multimodal forward graph. Tower dimensions live in the config so
+models build offline; ``clip_name`` pointing at a local HF checkpoint dir
+enables pretrained bootstrap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from multimeditron_tpu.constants import (
+    MODALITY_VALUE_KEY,
+    NUM_EMBEDDINGS_KEY,
+    POSITION_IDS_KEY,
+)
+from multimeditron_tpu.data.image_processing import (
+    CLIP_MEAN,
+    CLIP_STD,
+    SIGLIP_MEAN,
+    SIGLIP_STD,
+    preprocess_image,
+)
+from multimeditron_tpu.modalities.base import (
+    AutoModality,
+    BaseModality,
+    BaseModalityConfig,
+    BaseModalityProcessor,
+)
+from multimeditron_tpu.models.projector import (
+    init_mlp_projector,
+    mlp_projector_forward,
+)
+from multimeditron_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+
+
+@dataclasses.dataclass
+class ImageConfig(BaseModalityConfig):
+    modality_type: str = "image"
+    hidden_size: int = 4096
+    clip_name: str = "openai/clip-vit-large-patch14"
+    projection_type: str = "mlp"
+    use_2d_position_ids: bool = False
+    tower: str = "clip"  # "clip" | "siglip"
+    # Tower dims (defaults: clip-vit-large-patch14). When ``clip_name`` is a
+    # local HF checkpoint dir these are overridden from its config.json.
+    image_size: int = 224
+    patch_size: int = 14
+    vision_hidden_size: int = 1024
+    vision_layers: int = 24
+    vision_heads: int = 16
+    vision_intermediate_size: int = 4096
+    param_dtype: str = "bfloat16"
+
+    def vit_config(self) -> ViTConfig:
+        import jax.numpy as jnp
+
+        base = (
+            ViTConfig.siglip_from_hf_dict if self.tower == "siglip"
+            else ViTConfig.clip_from_hf_dict
+        )({
+            "image_size": self.image_size,
+            "patch_size": self.patch_size,
+            "hidden_size": self.vision_hidden_size,
+            "num_hidden_layers": self.vision_layers,
+            "num_attention_heads": self.vision_heads,
+            "intermediate_size": self.vision_intermediate_size,
+        })
+        return dataclasses.replace(base, dtype=getattr(jnp, self.param_dtype))
+
+
+class ImageProcessor(BaseModalityProcessor):
+    """PIL -> normalized NHWC pixels + num_embeddings (+ 2-D position ids),
+    matching reference ``ImageProcessor.process`` (``image_modality.py:83-110``)."""
+
+    def __init__(self, config: ImageConfig):
+        super().__init__(config)
+        self._grid = config.image_size // config.patch_size
+        if config.tower == "siglip":
+            self._mean, self._std, self._mode = SIGLIP_MEAN, SIGLIP_STD, "squash"
+        else:
+            self._mean, self._std, self._mode = CLIP_MEAN, CLIP_STD, "shortest_edge"
+
+    @property
+    def num_embeddings(self) -> int:
+        return self._grid ** 2
+
+    @property
+    def value_shape(self) -> tuple:
+        s = self.config.image_size
+        return (s, s, 3)
+
+    def process(self, modality: Dict[str, Any]) -> Dict[str, Any]:
+        out = modality.copy()
+        out[MODALITY_VALUE_KEY] = preprocess_image(
+            modality[MODALITY_VALUE_KEY],
+            self.config.image_size,
+            mean=self._mean,
+            std=self._std,
+            resize_mode=self._mode,
+        )
+        out[NUM_EMBEDDINGS_KEY] = self.num_embeddings
+        if self.config.use_2d_position_ids:
+            g = self._grid
+            rows, cols = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
+            out[POSITION_IDS_KEY] = np.stack(
+                [rows.reshape(-1), cols.reshape(-1)], axis=-1
+            ).astype(np.int64)
+        return out
+
+
+@AutoModality.register("meditron_clip")
+class ImageModality(BaseModality):
+    config_class = ImageConfig
+    processor_class = ImageProcessor
+
+    def __init__(self, config: ImageConfig):
+        super().__init__(config)
+        self.vit_cfg = config.vit_config()
+
+    def init_params(self, key: jax.Array) -> Dict[str, Any]:
+        k1, k2 = jax.random.split(key)
+        return {
+            "embedder": init_vit_params(k1, self.vit_cfg),
+            "projector": init_mlp_projector(
+                k2,
+                self.vit_cfg.hidden_size,
+                self.config.hidden_size,
+                dtype=self.vit_cfg.dtype,
+            ),
+        }
+
+    def load_pretrained_params(self, dtype=None) -> Optional[Dict[str, Any]]:
+        """Bootstrap: pretrained tower + randomly-initialized projector
+        (reference ``bootstrap`` contract, ``model/model.py:643-671``)."""
+        path = self.config.clip_name
+        if not (os.path.isdir(path) and os.path.exists(os.path.join(path, "config.json"))):
+            return None
+        from multimeditron_tpu.models.hf_import import load_clip_vision
+
+        vit_cfg, tower = load_clip_vision(path, dtype=dtype or self.vit_cfg.dtype)
+        self.vit_cfg = vit_cfg
+        proj = init_mlp_projector(
+            jax.random.PRNGKey(0),
+            vit_cfg.hidden_size,
+            self.config.hidden_size,
+            dtype=dtype or self.vit_cfg.dtype,
+        )
+        return {"embedder": tower, "projector": proj}
+
+    def encode(self, params: Dict[str, Any], values: jax.Array) -> jax.Array:
+        feats = vit_forward(params["embedder"], self.vit_cfg, values, drop_cls=True)
+        return mlp_projector_forward(params["projector"], feats)
+
+    def trainable_mask(
+        self, params: Dict[str, Any], train_embedder: bool, train_projector: bool
+    ) -> Dict[str, Any]:
+        return {
+            "embedder": jax.tree.map(lambda _: train_embedder, params["embedder"]),
+            "projector": jax.tree.map(lambda _: train_projector, params["projector"]),
+        }
