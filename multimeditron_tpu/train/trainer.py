@@ -1,0 +1,246 @@
+"""SFT trainer: one jitted GSPMD train step instead of HF Trainer +
+Accelerate + DeepSpeed (reference ``train/trainer.py``, SURVEY.md §3.1).
+
+- staged freezing (``TRAINING_MAPPING``, reference ``trainer.py:16-26``,
+  ``135-144``) = ``optax.masked`` AdamW + stop_gradient on frozen subtrees;
+- ZeRO-3 = params/grads/opt-state sharded over the fsdp mesh axis
+  (``parallel/sharding.py``); bf16 params, f32 optimizer moments;
+- gradient accumulation = ``lax.scan`` over microbatches inside the step;
+- cosine-with-min-lr schedule, global-norm clipping, warmup — mapping the
+  reference's ``config_alignment.yaml:40-59`` training_args;
+- metrics: loss / grad-norm / lr / tokens-sec / MFU, JSONL + optional
+  wandb (reference logs to wandb, ``cli/train.py:159-186``);
+- profiler window via ``jax.profiler`` (reference's PyTorch-profiler and
+  NVTX hooks, ``trainer.py:147-198`` / ``profiling.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multimeditron_tpu.models.multimodal import MultimodalModel, TrainingMode
+from multimeditron_tpu.parallel.mesh import make_mesh
+from multimeditron_tpu.parallel.sharding import (
+    batch_sharding,
+    param_sharding_rules,
+    shard_params,
+)
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    learning_rate: float = 1e-4
+    min_lr: float = 3e-5
+    warmup_steps: int = 0
+    total_steps: int = 1000
+    weight_decay: float = 0.01
+    b1: float = 0.9
+    b2: float = 0.999
+    max_grad_norm: float = 1.0
+    grad_accum: int = 1
+    training_mode: TrainingMode = TrainingMode.ALIGNMENT
+    # mesh
+    dp: Optional[int] = None
+    fsdp: Optional[int] = None
+    tp: int = 1
+    # compute
+    remat: bool = True
+    attn_impl: Optional[str] = None
+    # logging / ckpt
+    log_every: int = 1
+    save_every: Optional[int] = None
+    output_dir: str = "checkpoints"
+    run_name: str = "multimeditron-tpu"
+    wandb: bool = False
+    # profiling window (reference profiler parity: env-gated)
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
+    seed: int = 0
+
+
+class MetricsLogger:
+    """stdout + JSONL (+ optional wandb) metrics sink."""
+
+    def __init__(self, cfg: TrainerConfig):
+        self.cfg = cfg
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        self._file = open(
+            os.path.join(cfg.output_dir, "metrics.jsonl"), "a", buffering=1
+        )
+        self._wandb = None
+        if cfg.wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project="MultiMeditron", name=cfg.run_name, config=dataclasses.asdict(cfg)
+                )
+            except Exception:
+                self._wandb = None
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        record = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        self._file.write(json.dumps(record) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+        if step % self.cfg.log_every == 0:
+            printable = " ".join(f"{k}={v:.4g}" for k, v in record.items() if k != "step")
+            print(f"[step {step}] {printable}", flush=True)
+
+    def close(self):
+        self._file.close()
+
+
+class MultimodalTrainer:
+    def __init__(
+        self,
+        model: MultimodalModel,
+        params: Params,
+        config: TrainerConfig,
+        mesh=None,
+    ):
+        self.model = model
+        self.cfg = config
+        self.mesh = mesh or make_mesh(dp=config.dp, fsdp=config.fsdp, tp=config.tp)
+        self.param_shardings = param_sharding_rules(params, self.mesh)
+        self.params = shard_params(params, self.mesh)
+        self.trainable_mask = model.trainable_mask(params, config.training_mode)
+
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if config.warmup_steps > 0 else config.learning_rate,
+            peak_value=config.learning_rate,
+            warmup_steps=config.warmup_steps,
+            decay_steps=max(config.total_steps, 1),
+            end_value=config.min_lr,
+        )
+        self._schedule = schedule
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.masked(
+                optax.adamw(
+                    schedule,
+                    b1=config.b1,
+                    b2=config.b2,
+                    weight_decay=config.weight_decay,
+                ),
+                self.trainable_mask,
+            ),
+        )
+        if config.grad_accum > 1:
+            # Each microbatch is an independently collated batch; the
+            # optimizer applies every grad_accum calls (reference:
+            # gradient_accumulation_steps, config_alignment.yaml:42).
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=config.grad_accum)
+        with self.mesh:
+            self.opt_state = jax.jit(self.tx.init)(self.params)
+        self.step = 0
+        self._train_step = self._build_train_step()
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self) -> Callable:
+        model, cfg, mask = self.model, self.cfg, self.trainable_mask
+
+        def loss_fn(params, batch):
+            # Frozen subtrees contribute no gradient (and their backward is
+            # DCE'd), mirroring requires_grad=False.
+            p = jax.tree.map(
+                lambda x, m: x if m else jax.lax.stop_gradient(x), params, mask
+            )
+            _, loss = model.forward(
+                p, batch, attn_impl=cfg.attn_impl, remat=cfg.remat
+            )
+            return loss
+
+        def train_step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            grad_norm = optax.global_norm(grads)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, {"loss": loss, "grad_norm": grad_norm}
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def shard_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Host numpy batch -> device arrays sharded over the data axes."""
+        sharding = batch_sharding(self.mesh)
+
+        def put(x):
+            x = np.asarray(x)
+            return jax.device_put(x, sharding)
+
+        out = {}
+        for k, v in batch.items():
+            if k == "mm_inputs":
+                out[k] = {
+                    m: {kk: put(vv) for kk, vv in pack.items()}
+                    for m, pack in v.items()
+                }
+            else:
+                out[k] = put(v)
+        return out
+
+    # ------------------------------------------------------------------
+    def train_step(self, batch: Dict[str, Any]) -> Dict[str, float]:
+        """One microbatch step. With grad_accum > 1 the optimizer applies
+        once every grad_accum calls (optax.MultiSteps)."""
+        batch = jax.tree.map(jnp.asarray, batch)
+        with self.mesh:
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, batch
+            )
+        self.step += 1
+        return metrics
+
+    def train(
+        self,
+        data_iter: Iterable[Dict[str, Any]],
+        num_steps: Optional[int] = None,
+        logger: Optional[MetricsLogger] = None,
+        checkpointer=None,
+    ) -> Dict[str, float]:
+        logger = logger or MetricsLogger(self.cfg)
+        num_steps = num_steps or self.cfg.total_steps
+        profile_on = os.environ.get("ENABLE_JAX_PROFILER") == "1"
+        last = {}
+        t_prev = time.time()
+        for batch in data_iter:
+            if self.step >= num_steps:
+                break
+            if profile_on and self.step == self.cfg.profile_start_step:
+                jax.profiler.start_trace(
+                    os.path.join(self.cfg.output_dir, "profile")
+                )
+            tokens = int(np.prod(np.asarray(batch["input_ids"]).shape))
+            metrics = self.train_step(batch)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t_prev
+            t_prev = time.time()
+            metrics["lr"] = float(self._schedule(self.step))
+            metrics["tokens_per_sec"] = tokens / max(dt, 1e-9)
+            metrics["step_time_s"] = dt
+            logger.log(self.step, metrics)
+            last = metrics
+            if profile_on and self.step == (
+                self.cfg.profile_start_step + self.cfg.profile_num_steps
+            ):
+                jax.profiler.stop_trace()
+            if (
+                checkpointer is not None
+                and self.cfg.save_every
+                and self.step % self.cfg.save_every == 0
+            ):
+                checkpointer.save(self.step, self.params, self.opt_state)
+        return last
