@@ -1,0 +1,90 @@
+"""Headline benchmark: CLIP ViT-L/14 preprocess + encode throughput.
+
+Measures images/sec/chip for the fused device pipeline (uint8 -> normalize
+-> patchify -> ViT-L/14 -> MLP projector), the first BASELINE.md north-star
+metric (target: 2,000 images/sec/chip on TPU v5e).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/2000}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 2000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from multimeditron_tpu.models.projector import init_mlp_projector, mlp_projector_forward
+    from multimeditron_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+    from multimeditron_tpu.ops.image_ops import preprocess_images_device
+
+    # CLIP ViT-L/14 (the reference's default tower,
+    # image_modality.py clip_name=openai/clip-vit-large-patch14)
+    cfg = ViTConfig(
+        image_size=224,
+        patch_size=14,
+        hidden_size=1024,
+        num_layers=24,
+        num_heads=16,
+        intermediate_size=4096,
+        dtype=jnp.bfloat16,
+    )
+    llm_hidden = 4096
+
+    key = jax.random.PRNGKey(0)
+    params = init_vit_params(key, cfg)
+    proj = init_mlp_projector(jax.random.PRNGKey(1), cfg.hidden_size, llm_hidden,
+                              dtype=jnp.bfloat16)
+
+    batch = 128
+    iters = 16
+    rng = np.random.default_rng(0)
+    # Distinct batches stacked for an in-graph scan: the measurement host
+    # round-trip happens ONCE, so per-call dispatch overhead (large through
+    # remote-tunnel setups) is amortized, and identical-execution caching
+    # cannot fake the result.
+    image_stack = jnp.asarray(
+        rng.integers(0, 256, (iters, batch, 224, 224, 3), dtype=np.uint8)
+    )
+
+    @jax.jit
+    def encode_many(params, proj, stack):
+        def body(acc, images_uint8):
+            pixels = preprocess_images_device(images_uint8, cfg.image_size)
+            feats = vit_forward(params, cfg, pixels, drop_cls=True)
+            out = mlp_projector_forward(proj, feats)
+            return acc + jnp.sum(out.astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), stack)
+        return acc
+
+    float(encode_many(params, proj, image_stack))  # warmup/compile
+
+    t0 = time.perf_counter()
+    checksum = float(encode_many(params, proj, image_stack))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
+
+    images_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "clip_vitl14_preprocess_encode",
+                "value": round(images_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

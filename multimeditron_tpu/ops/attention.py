@@ -86,9 +86,16 @@ def attention(
     impl: Optional[str] = None,
     causal_offset: Optional[int] = None,
 ) -> jax.Array:
-    """Dispatching attention entry point used by all models."""
+    """Dispatching attention entry point used by all models.
+
+    Auto mode uses the Pallas flash kernel only where it wins: long
+    sequences on TPU. For short sequences (ViT towers, short prompts) the
+    materialized-scores XLA path is faster on the MXU (measured: ViT-L/14
+    encode 508 vs 246 img/s on v5e), and the S^2 memory cost is small.
+    """
     if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        long_seq = k.shape[2] >= 2048
+        impl = "pallas" if (jax.default_backend() == "tpu" and long_seq) else "xla"
     if impl == "xla":
         return attention_xla(
             q, k, v, kv_mask=kv_mask, causal=causal, sm_scale=sm_scale,

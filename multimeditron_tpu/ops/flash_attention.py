@@ -481,8 +481,8 @@ def flash_attention(
     kv_mask: Optional[jax.Array] = None,
     causal: bool = True,
     sm_scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool = False,
     causal_offset: Optional[int] = None,
 ) -> jax.Array:
