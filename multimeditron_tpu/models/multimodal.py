@@ -62,9 +62,10 @@ class MultimodalConfig:
     dtype: str = "bfloat16"
 
     def to_dict(self) -> dict:
+        llm_dtype = getattr(self.llm.dtype, "__name__", str(self.llm.dtype))
         return {
             "model_type": "multimodal",
-            "llm": dataclasses.asdict(self.llm) | {"dtype": self.dtype},
+            "llm": dataclasses.asdict(self.llm) | {"dtype": llm_dtype},
             "modalities": [m.to_dict() for m in self.modalities],
             "vocab_size": self.vocab_size,
             "pad_token_idx": self.pad_token_idx,

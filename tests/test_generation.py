@@ -1,0 +1,128 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimeditron_tpu.data.chat_template import ChatTemplate
+from multimeditron_tpu.data.collator import DataCollatorForMultimodal
+from multimeditron_tpu.data.loaders import AutoModalityLoader
+from multimeditron_tpu.models.generation import generate, sample_tokens
+from multimeditron_tpu.models.multimodal import MultimodalModel
+from tests.test_multimodal import ATTACH, _img, tiny_mm_config
+from tests.fixtures.toy_tokenizer import ToyTokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MultimodalModel(tiny_mm_config())
+    model.config.eos_token_idx = 2  # toy tokenizer <eos>
+    params = model.init_params(jax.random.PRNGKey(0))
+    tok = ToyTokenizer()
+    collator = DataCollatorForMultimodal(
+        tokenizer=tok,
+        modality_processors=model.processors(),
+        modality_loaders={"image": AutoModalityLoader.create("raw-image")},
+        attachment_token=ATTACH,
+        chat_template=ChatTemplate.llama(),
+        add_generation_prompt=True,
+        pad_to_multiple=8,
+    )
+    return model, params, tok, collator
+
+
+def _naive_greedy(model, params, batch, n_tokens):
+    """Teacher-forced greedy reference: repeated FULL forwards, no cache."""
+    input_ids = np.asarray(batch["input_ids"]).copy()
+    mask = np.asarray(batch["attention_mask"]).copy()
+    mm = batch.get("mm_inputs")
+    B = input_ids.shape[0]
+    lengths = mask.sum(-1)
+    out = []
+    for _ in range(n_tokens):
+        jb = {
+            "input_ids": jnp.asarray(input_ids),
+            "attention_mask": jnp.asarray(mask),
+            "mm_inputs": jax.tree.map(jnp.asarray, mm) if mm else None,
+        }
+        logits, _ = model.forward(params, jb)
+        step_tokens = []
+        for b in range(B):
+            tok = int(jnp.argmax(logits[b, lengths[b] - 1]))
+            step_tokens.append(tok)
+        out.append(step_tokens)
+        # append tokens (right padding: write at lengths[b])
+        new_col_needed = (lengths + 1).max() > input_ids.shape[1]
+        if new_col_needed:
+            input_ids = np.pad(input_ids, ((0, 0), (0, 8)), constant_values=0)
+            mask = np.pad(mask, ((0, 0), (0, 8)))
+        for b in range(B):
+            input_ids[b, lengths[b]] = step_tokens[b]
+            mask[b, lengths[b]] = 1
+        lengths = lengths + 1
+    return np.asarray(out).T  # (B, n_tokens)
+
+
+def test_greedy_matches_naive(setup):
+    model, params, tok, collator = setup
+    samples = [
+        {
+            "conversations": [{"role": "user", "content": f"describe {ATTACH} image"}],
+            "modalities": [{"type": "image", "value": _img((0, 0, 255))}],
+        },
+        {
+            "conversations": [{"role": "user", "content": "hi"}],
+            "modalities": [],
+        },
+    ]
+    batch = collator(samples)
+    n = 6
+    got = np.asarray(
+        generate(model, params, batch, max_new_tokens=n, do_sample=False)
+    )
+    ref = _naive_greedy(model, params, batch, n)
+    eos = model.config.eos_token_idx
+    for b in range(2):
+        for t in range(n):
+            np.testing.assert_equal(got[b, t], ref[b, t])
+            if ref[b, t] == eos:
+                break  # after EOS the compiled path freezes to EOS
+
+
+def test_eos_padding_after_finish(setup):
+    model, params, tok, collator = setup
+    batch = collator([
+        {"conversations": [{"role": "user", "content": "x"}], "modalities": []}
+    ])
+    out = np.asarray(generate(model, params, batch, max_new_tokens=8, do_sample=False))
+    eos = model.config.eos_token_idx
+    hit = np.nonzero(out[0] == eos)[0]
+    if len(hit) > 0:
+        assert (out[0, hit[0]:] == eos).all()
+
+
+def test_sampling_reproducible(setup):
+    model, params, tok, collator = setup
+    batch = collator([
+        {"conversations": [{"role": "user", "content": "tell me"}], "modalities": []}
+    ])
+    a = np.asarray(generate(model, params, batch, max_new_tokens=5,
+                            temperature=1.0, key=jax.random.PRNGKey(7)))
+    b = np.asarray(generate(model, params, batch, max_new_tokens=5,
+                            temperature=1.0, key=jax.random.PRNGKey(7)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sample_tokens_top_k_top_p():
+    key = jax.random.PRNGKey(0)
+    logits = jnp.asarray([[1.0, 2.0, 3.0, -1.0]])
+    # top_k=1 == greedy
+    for seed in range(5):
+        t = sample_tokens(logits, jax.random.PRNGKey(seed), temperature=1.0, top_k=1)
+        assert int(t[0]) == 2
+    # top_p tiny == greedy
+    for seed in range(5):
+        t = sample_tokens(logits, jax.random.PRNGKey(seed), temperature=1.0, top_p=0.1)
+        assert int(t[0]) == 2
+    # greedy flag
+    t = sample_tokens(logits, key, do_sample=False)
+    assert int(t[0]) == 2
