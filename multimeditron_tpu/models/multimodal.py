@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from multimeditron_tpu.constants import IGNORE_TOKEN_INDEX
-from multimeditron_tpu.modalities.base import AutoModality, BaseModalityConfig
+from multimeditron_tpu.modalities import AutoModality  # registers built-ins
+from multimeditron_tpu.modalities.base import BaseModalityConfig
 from multimeditron_tpu.models.common import cross_entropy_loss
 from multimeditron_tpu.models.llama import (
     LlamaConfig,

@@ -1,0 +1,209 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimeditron_tpu.modalities.base import AutoModality
+from multimeditron_tpu.modalities.image_moe import MOEImageConfig
+from multimeditron_tpu.models.cross_attention import (
+    cross_attention_forward,
+    init_cross_attention,
+)
+from multimeditron_tpu.models.resnet import (
+    ResNetConfig,
+    init_resnet,
+    resnet_forward,
+    resnet_params_from_torch_state_dict,
+)
+
+
+def moe_config(fusion="weighted_average", pep=False, **kw):
+    return MOEImageConfig(
+        model_type="moe_meditron_clip_pep" if pep else "moe_meditron_clip",
+        hidden_size=32,
+        image_size=16,
+        patch_size=8,
+        vision_hidden_size=24,
+        vision_layers=1,
+        vision_heads=4,
+        vision_intermediate_size=48,
+        param_dtype="float32",
+        num_experts=3,
+        fusion_method=fusion,
+        generalist_idx=-1,
+        cross_attn_heads=4,
+        **kw,
+    )
+
+
+# ----------------------------------------------------------------------
+# ResNet
+# ----------------------------------------------------------------------
+def test_resnet18_torchvision_parity():
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+
+    tv = torchvision.models.resnet18(weights=None)
+    tv.fc = torch.nn.Linear(tv.fc.in_features, 4)
+    torch.manual_seed(0)
+    tv.eval()
+
+    cfg = ResNetConfig(depth=18, num_classes=4)
+    params, state = resnet_params_from_torch_state_dict(tv.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    x_nchw = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tv(torch.tensor(x_nchw)).numpy()
+    ours, _ = resnet_forward(
+        params, state, cfg, jnp.asarray(x_nchw.transpose(0, 2, 3, 1)), train=False
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-3, rtol=2e-3)
+
+
+def test_resnet50_torchvision_parity():
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+
+    tv = torchvision.models.resnet50(weights=None)
+    tv.fc = torch.nn.Linear(tv.fc.in_features, 3)
+    tv.eval()
+
+    cfg = ResNetConfig(depth=50, num_classes=3)
+    params, state = resnet_params_from_torch_state_dict(tv.state_dict(), cfg)
+    rng = np.random.default_rng(1)
+    x_nchw = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = tv(torch.tensor(x_nchw)).numpy()
+    ours, _ = resnet_forward(
+        params, state, cfg, jnp.asarray(x_nchw.transpose(0, 2, 3, 1)), train=False
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-3, rtol=2e-3)
+
+
+def test_resnet_train_mode_updates_stats():
+    cfg = ResNetConfig(depth=18, num_classes=2)
+    params, state = init_resnet(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    _, new_state = resnet_forward(params, state, cfg, x, train=True)
+    assert not np.allclose(
+        np.asarray(new_state["stem_bn"]["mean"]), np.asarray(state["stem_bn"]["mean"])
+    )
+
+
+# ----------------------------------------------------------------------
+# CrossAttention
+# ----------------------------------------------------------------------
+def test_cross_attention_torch_parity():
+    torch = pytest.importorskip("torch")
+    # Load the reference file standalone (its package pulls heavy deps).
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_attention", "/root/reference/src/multimeditron/model/attention.py"
+    )
+    try:
+        ref_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_mod)
+        CrossAttention = ref_mod.CrossAttention
+    except Exception as e:
+        pytest.skip(f"reference CrossAttention unavailable: {e}")
+
+    dim, heads = 16, 4
+    torch.manual_seed(0)
+    ref = CrossAttention(dim=dim, num_heads=heads, qkv_bias=True,
+                         attn_drop=0.0, proj_drop=0.0).eval()
+
+    params = init_cross_attention(jax.random.PRNGKey(0), dim, qkv_bias=True)
+    params["q_proj"] = jnp.asarray(ref.q_proj.weight.detach().numpy().T)
+    params["q_bias"] = jnp.asarray(ref.q_proj.bias.detach().numpy())
+    params["k_proj"] = jnp.asarray(ref.k_proj.weight.detach().numpy().T)
+    params["k_bias"] = jnp.asarray(ref.k_proj.bias.detach().numpy())
+    params["v_proj"] = jnp.asarray(ref.v_proj.weight.detach().numpy().T)
+    params["v_bias"] = jnp.asarray(ref.v_proj.bias.detach().numpy())
+    params["out_proj"] = jnp.asarray(ref.proj.weight.detach().numpy().T)
+    params["out_bias"] = jnp.asarray(ref.proj.bias.detach().numpy())
+
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(2, 4, dim)).astype(np.float32)
+    ctxs = [rng.normal(size=(2, 4, dim)).astype(np.float32) for _ in range(2)]
+    with torch.no_grad():
+        expected = ref(torch.tensor(q), [torch.tensor(c) for c in ctxs]).numpy()
+    got = cross_attention_forward(
+        params, jnp.asarray(q), [jnp.asarray(c) for c in ctxs], num_heads=heads
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5, rtol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# MoE modalities
+# ----------------------------------------------------------------------
+@pytest.mark.parametrize("fusion", ["weighted_average", "sequence_append", "cross_attn"])
+@pytest.mark.parametrize("pep", [False, True])
+def test_moe_encode_shapes(fusion, pep):
+    cfg = moe_config(fusion, pep=pep)
+    mod = AutoModality.from_config(cfg)
+    params = mod.init_params(jax.random.PRNGKey(0))
+    values = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    out = mod.encode(params, values)
+    n_emb = mod.make_processor().num_embeddings
+    expected_tokens = 4 * 3 if fusion == "sequence_append" else 4
+    assert n_emb == expected_tokens
+    assert out.shape == (2, expected_tokens, 32)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_moe_weighted_average_math():
+    """Fused output == sum of per-expert features weighted by gating."""
+    cfg = moe_config("weighted_average")
+    mod = AutoModality.from_config(cfg)
+    params = mod.init_params(jax.random.PRNGKey(0))
+    values = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    stacked = mod._expert_features(params, values)
+    weights = mod._gating_weights(params, values)
+    np.testing.assert_allclose(np.asarray(weights.sum(-1)), 1.0, atol=1e-5)
+    manual = (np.asarray(stacked) * np.asarray(weights)[:, :, None, None]).sum(1)
+    from multimeditron_tpu.models.projector import mlp_projector_forward
+
+    expected = mlp_projector_forward(params["projector"], jnp.asarray(manual))
+    got = mod.encode(params, values)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+
+def test_moe_gating_permutation():
+    cfg = moe_config(
+        "weighted_average",
+        expert_clip_names=["a", "b", "c"],
+        gating_class_names=["c", "a", "b"],
+    )
+    mod = AutoModality.from_config(cfg)
+    np.testing.assert_array_equal(np.asarray(mod.gating_perm), [2, 0, 1])
+
+
+def test_moe_trainable_masks():
+    cfg = moe_config("cross_attn")
+    mod = AutoModality.from_config(cfg)
+    params = mod.init_params(jax.random.PRNGKey(0))
+    mask = mod.trainable_mask(params, train_embedder=False, train_projector=True)
+    assert not any(jax.tree.leaves(mask["embedder"]))
+    assert all(jax.tree.leaves(mask["projector"]))
+    assert all(jax.tree.leaves(mask["cross_attn"]))  # projector-side
+
+
+def test_gating_save_load_roundtrip(tmp_path):
+    from multimeditron_tpu.modalities.moe.gating import GatingNetwork, GatingNetworkConfig
+
+    net = GatingNetwork(GatingNetworkConfig(num_classes=3, top_k=2,
+                                            class_names=["a", "b", "c"],
+                                            resnet_depth=18))
+    params = net.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    logits, topk, weights, _ = net.forward(params, x)
+    assert logits.shape == (2, 3) and topk.shape == (2, 2)
+
+    out = str(tmp_path / "gating")
+    net.save_pretrained(params, out)
+    net2, params2 = GatingNetwork.from_pretrained(out)
+    assert net2.config.class_names == ["a", "b", "c"]
+    logits2, _, _, _ = net2.forward(params2, x)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2), atol=1e-5)
