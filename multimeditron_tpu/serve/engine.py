@@ -1,0 +1,313 @@
+"""Continuous-batching serving engine.
+
+TPU-native replacement for the reference's sglang rollout/serving
+dependency (SURVEY.md §2.3: vendored CUDA engine) and its naive eager
+decode loop (``model/model.py:528-640``):
+
+- a fixed pool of KV-cache SLOTS (static shapes, one compiled decode step
+  for the whole pool);
+- per-request PREFILL into a free slot (bucketed prompt lengths, so a
+  handful of compilations serve all requests), vision encode included in
+  the prefill graph;
+- the host scheduler admits queued requests into free slots between
+  decode steps — requests join and leave the running batch without ever
+  recompiling or stalling other requests (continuous batching);
+- per-slot temperature/top-k sampling in-graph; EOS/max-token finish.
+
+The engine exposes both an async submit/step API (serving) and a
+synchronous ``generate`` convenience (batch inference, RLHF rollouts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimeditron_tpu.models.llama import init_kv_cache, llama_forward
+from multimeditron_tpu.models.multimodal import MultimodalModel
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    max_slots: int = 8
+    max_seq_len: int = 2048
+    max_new_tokens: int = 512
+    prefill_buckets: Tuple[int, ...] = (128, 256, 512, 1024)
+    temperature: float = 0.7
+    top_k: int = 0  # 0 = disabled
+    do_sample: bool = True
+    seed: int = 0
+    attn_impl: Optional[str] = None
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    batch: Dict[str, Any]            # single-sample collated batch (B=1)
+    max_new_tokens: int
+    temperature: float
+    submit_time: float = 0.0
+    first_token_time: Optional[float] = None
+    finish_time: Optional[float] = None
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+    @property
+    def ttft(self) -> Optional[float]:
+        if self.first_token_time is None:
+            return None
+        return self.first_token_time - self.submit_time
+
+
+class ServingEngine:
+    def __init__(self, model: MultimodalModel, params: Dict[str, Any], cfg: EngineConfig):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        llm = model.config.llm
+        self.eos_id = model.config.eos_token_idx
+
+        self.cache = init_kv_cache(llm, cfg.max_slots, cfg.max_seq_len)
+        self.lengths = np.zeros((cfg.max_slots,), np.int32)
+        self.slot_request: List[Optional[Request]] = [None] * cfg.max_slots
+        self.slot_budget = np.zeros((cfg.max_slots,), np.int32)
+        self.slot_generated = np.zeros((cfg.max_slots,), np.int32)
+        self.slot_temperature = np.full((cfg.max_slots,), cfg.temperature, np.float32)
+        self.last_tokens = np.zeros((cfg.max_slots,), np.int32)
+        self.active = np.zeros((cfg.max_slots,), bool)
+
+        self.queue: List[Request] = []
+        self._next_id = 0
+        self._rng_key = jax.random.PRNGKey(cfg.seed)
+
+        self._prefill_fns: Dict[int, Callable] = {}
+        self._decode_fn = self._build_decode_fn()
+
+    # ------------------------------------------------------------------
+    # Compiled functions
+    # ------------------------------------------------------------------
+    def _build_prefill_fn(self, bucket: int) -> Callable:
+        model, cfg = self.model, self.cfg
+        llm = model.config.llm
+
+        def prefill(params, cache, input_ids, attention_mask, mm_inputs, slot):
+            # Encode + splice + causal prefill into a fresh local cache,
+            # then copy the written region into the slot.
+            embeds = model.embed(params, input_ids, mm_inputs)
+            local = init_kv_cache(llm, 1, bucket, dtype=cache["k"].dtype)
+            logits, local = llama_forward(
+                params["llm"], llm,
+                inputs_embeds=embeds,
+                attention_mask=attention_mask,
+                kv_cache=local,
+                prefill=True,
+                attn_impl=cfg.attn_impl,
+            )
+            length = attention_mask.sum().astype(jnp.int32)
+            k = jax.lax.dynamic_update_slice(
+                cache["k"], local["k"], (0, slot, 0, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], local["v"], (0, slot, 0, 0, 0)
+            )
+            last_logits = logits[0, length - 1]
+            return k, v, length, last_logits
+
+        return jax.jit(prefill, donate_argnums=(1,))
+
+    def _build_decode_fn(self) -> Callable:
+        model, cfg = self.model, self.cfg
+        llm = model.config.llm
+        eos = self.eos_id
+
+        def decode(params, cache, tokens, active, temps, key):
+            embeds = jnp.take(params["llm"]["embed_tokens"], tokens, axis=0)[:, None, :]
+            logits, new_cache = llama_forward(
+                params["llm"], llm,
+                inputs_embeds=embeds,
+                kv_cache=cache,
+                attn_impl=cfg.attn_impl,
+            )
+            logits = logits[:, 0].astype(jnp.float32)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if cfg.do_sample:
+                scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+                if cfg.top_k and cfg.top_k > 0:
+                    kth = jax.lax.top_k(scaled, cfg.top_k)[0][..., -1:]
+                    scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+                sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+                next_tokens = jnp.where(temps > 1e-6, sampled, greedy)
+            else:
+                next_tokens = greedy
+            next_tokens = jnp.where(active, next_tokens, eos)
+            # only active slots advance their cache length
+            new_cache = {
+                **new_cache,
+                "length": jnp.where(active, new_cache["length"], cache["length"]),
+            }
+            return new_cache, next_tokens
+
+        return jax.jit(decode, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+    def submit(
+        self,
+        batch: Dict[str, Any],
+        max_new_tokens: Optional[int] = None,
+        temperature: Optional[float] = None,
+    ) -> Request:
+        """Queue a single-sample collated batch (B=1, right-padded)."""
+        assert batch["input_ids"].shape[0] == 1, "submit() takes B=1 batches"
+        req = Request(
+            request_id=self._next_id,
+            batch=batch,
+            max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
+            temperature=self.cfg.temperature if temperature is None else temperature,
+            submit_time=time.time(),
+        )
+        self._next_id += 1
+        self.queue.append(req)
+        return req
+
+    def _bucket_for(self, seq_len: int) -> int:
+        for b in self.cfg.prefill_buckets:
+            if seq_len <= b:
+                return b
+        raise ValueError(
+            f"Prompt length {seq_len} exceeds largest prefill bucket "
+            f"{self.cfg.prefill_buckets[-1]}"
+        )
+
+    def _admit(self) -> None:
+        """Move queued requests into free slots (prefill)."""
+        for slot in range(self.cfg.max_slots):
+            if not self.queue:
+                return
+            if self.active[slot] or self.slot_request[slot] is not None:
+                continue
+            req = self.queue.pop(0)
+            batch = req.batch
+            S = batch["input_ids"].shape[1]
+            bucket = self._bucket_for(S)
+            # re-pad the sample to the bucket length
+            def pad_to(x, target, value=0):
+                x = np.asarray(x)
+                if x.shape[1] == target:
+                    return x
+                pad = [(0, 0), (0, target - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
+                return np.pad(x, pad, constant_values=value)
+
+            input_ids = jnp.asarray(pad_to(batch["input_ids"], bucket))
+            mask = jnp.asarray(pad_to(batch["attention_mask"], bucket))
+            mm = batch.get("mm_inputs")
+            if mm is not None:
+                mm = jax.tree.map(jnp.asarray, mm)
+
+            if bucket not in self._prefill_fns:
+                self._prefill_fns[bucket] = self._build_prefill_fn(bucket)
+            k, v, length, last_logits = self._prefill_fns[bucket](
+                self.params,
+                {"k": self.cache["k"], "v": self.cache["v"], "length": jnp.asarray(self.lengths)},
+                input_ids, mask, mm, slot,
+            )
+            self.cache = {"k": k, "v": v, "length": self.cache["length"]}
+
+            # first token from the prefill logits
+            self._rng_key, sub = jax.random.split(self._rng_key)
+            first = self._sample_host(last_logits, sub, req.temperature)
+            req.first_token_time = time.time()
+            req.tokens.append(int(first))
+
+            self.slot_request[slot] = req
+            self.lengths[slot] = int(length)
+            self.slot_budget[slot] = req.max_new_tokens
+            self.slot_generated[slot] = 1
+            self.slot_temperature[slot] = req.temperature
+            self.last_tokens[slot] = int(first)
+            if int(first) == self.eos_id or req.max_new_tokens <= 1:
+                self._finish(slot)
+            else:
+                self.active[slot] = True
+
+    def _sample_host(self, logits, key, temperature) -> int:
+        logits = logits.astype(jnp.float32)
+        if not self.cfg.do_sample or temperature <= 1e-6:
+            return int(jnp.argmax(logits))
+        scaled = logits / max(temperature, 1e-6)
+        if self.cfg.top_k and self.cfg.top_k > 0:
+            kth = jax.lax.top_k(scaled, self.cfg.top_k)[0][-1]
+            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        return int(jax.random.categorical(key, scaled))
+
+    def _finish(self, slot: int) -> None:
+        req = self.slot_request[slot]
+        if req is not None:
+            req.done = True
+            req.finish_time = time.time()
+        self.slot_request[slot] = None
+        self.active[slot] = False
+
+    def step(self) -> bool:
+        """Admit + one decode step for all active slots.
+        Returns True if any work remains."""
+        self._admit()
+        if not self.active.any():
+            return bool(self.queue)
+
+        cache = {
+            "k": self.cache["k"],
+            "v": self.cache["v"],
+            "length": jnp.asarray(self.lengths),
+        }
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        cache, next_tokens = self._decode_fn(
+            self.params,
+            cache,
+            jnp.asarray(self.last_tokens),
+            jnp.asarray(self.active),
+            jnp.asarray(self.slot_temperature),
+            sub,
+        )
+        self.cache = {"k": cache["k"], "v": cache["v"], "length": self.cache["length"]}
+        next_tokens = np.asarray(next_tokens)
+        self.lengths = np.array(cache["length"])  # writable host copy
+
+        for slot in range(self.cfg.max_slots):
+            if not self.active[slot]:
+                continue
+            tok = int(next_tokens[slot])
+            req = self.slot_request[slot]
+            req.tokens.append(tok)
+            self.slot_generated[slot] += 1
+            self.last_tokens[slot] = tok
+            out_of_budget = self.slot_generated[slot] >= self.slot_budget[slot]
+            out_of_cache = self.lengths[slot] >= self.cfg.max_seq_len - 1
+            if tok == self.eos_id or out_of_budget or out_of_cache:
+                self._finish(slot)
+        return bool(self.queue) or bool(self.active.any())
+
+    def run(self) -> None:
+        """Drain the queue completely."""
+        while self.step():
+            pass
+
+    def generate(
+        self,
+        batches: List[Dict[str, Any]],
+        max_new_tokens: Optional[int] = None,
+        temperature: Optional[float] = None,
+    ) -> List[List[int]]:
+        """Synchronous batch generation through the continuous-batching path."""
+        reqs = [
+            self.submit(b, max_new_tokens=max_new_tokens, temperature=temperature)
+            for b in batches
+        ]
+        self.run()
+        return [r.tokens for r in reqs]
