@@ -135,7 +135,16 @@ class MultimodalModel:
         import os
 
         params = self.init_params(key)
-        if self.config.llm_path and os.path.isdir(self.config.llm_path):
+        has_llm_ckpt = (
+            self.config.llm_path
+            and os.path.isdir(self.config.llm_path)
+            and os.path.exists(os.path.join(self.config.llm_path, "config.json"))
+            and any(
+                f.endswith(".safetensors")
+                for f in os.listdir(self.config.llm_path)
+            )
+        )
+        if has_llm_ckpt:
             from multimeditron_tpu.models.hf_import import load_llama
 
             llm_cfg, llm_params = load_llama(self.config.llm_path)

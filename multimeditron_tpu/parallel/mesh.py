@@ -44,21 +44,30 @@ def make_mesh(
         fsdp = n // (dp * tp)
     elif dp is None:
         dp = n // (fsdp * tp)
-    if dp * fsdp * tp != n:
-        raise ValueError(
-            f"Mesh {dp}x{fsdp}x{tp} does not cover {n} devices"
-        )
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    need = dp * fsdp * tp
+    if need > n:
+        raise ValueError(f"Mesh {dp}x{fsdp}x{tp} needs {need} devices, have {n}")
+    arr = np.asarray(devices[:need]).reshape(dp, fsdp, tp)
     return Mesh(arr, MESH_AXES)
 
 
 def multihost_initialize() -> None:
-    """Initialize jax.distributed for multi-host meshes (SLURM/GKE-style
-    envs are auto-detected by JAX). Safe no-op on single host."""
+    """Initialize jax.distributed for multi-host meshes.
+
+    Only runs when a coordinator is explicitly configured (env
+    JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS) — auto-detection can
+    BLOCK waiting for peers on single-host machines that carry cluster-ish
+    env vars. Safe no-op otherwise."""
+    import os
+
+    if not (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    ):
+        return
     import jax.distributed
 
     try:
         jax.distributed.initialize()
     except Exception:
-        # Single-process run (no coordinator configured).
         pass

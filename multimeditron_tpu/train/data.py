@@ -1,0 +1,105 @@
+"""Host-side training data loading.
+
+Replaces the reference's HF-Trainer DataLoader plumbing
+(``cli/train.py:46-68`` dataset concatenation + shuffle; 16 workers per
+process feeding the collator, SURVEY.md §3.1): datasets are concatenated
+and shuffled, then a background thread pool runs the (numpy) collator so
+host preprocessing overlaps device steps — the TPU input-pipeline
+equivalent of dataloader workers.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import logging
+import os
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def is_dataset_folder(folder: str) -> bool:
+    return os.path.exists(os.path.join(folder, "dataset_info.json")) and os.path.exists(
+        os.path.join(folder, "state.json")
+    )
+
+
+def build_datasets(dataset_configs: List[Dict[str, Any]], seed: int = 0, num_proc: int = 1):
+    """Load + concatenate + shuffle packed datasets
+    (reference ``cli/train.py:46-68``)."""
+    from datasets import Dataset, concatenate_datasets, load_dataset, load_from_disk
+
+    parts = []
+    for ds_config in dataset_configs:
+        path = ds_config["packed_path"]
+        if is_dataset_folder(path):
+            ds = load_from_disk(path)
+        elif path.endswith(".jsonl"):
+            from multimeditron_tpu.utils.jsonl import JSONLGenerator
+
+            gen = JSONLGenerator(path)
+            ds = Dataset.from_generator(lambda gen=gen: iter(gen))
+        elif path.endswith(".parquet"):
+            ds = load_dataset("parquet", data_files=path)["train"]
+        else:
+            ds = load_dataset(path, num_proc=num_proc or None)["train"]
+        parts.append(ds)
+    return concatenate_datasets(parts).shuffle(seed=seed)
+
+
+class DataLoader:
+    """Shuffled epoch iterator: dataset -> collated numpy batches, with a
+    small pipeline of background collation workers."""
+
+    def __init__(
+        self,
+        dataset: Sequence[Dict[str, Any]],
+        collator: Callable[[List[Dict[str, Any]]], Dict[str, Any]],
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_workers: int = 2,
+        num_epochs: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.collator = collator
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.num_epochs = num_epochs
+        if drop_last and len(dataset) < batch_size:
+            raise ValueError(
+                f"Dataset has {len(dataset)} samples but the global batch "
+                f"size is {batch_size} (drop_last would yield no batches)"
+            )
+
+    def _index_batches(self, epoch: int) -> Iterator[List[int]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(self.seed + epoch).permutation(n)
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last:
+                return
+            yield list(idx)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        epoch = 0
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            while self.num_epochs is None or epoch < self.num_epochs:
+                pending = []
+                for idx in self._index_batches(epoch):
+                    samples = [self.dataset[int(i)] for i in idx]
+                    pending.append(pool.submit(self.collator, samples))
+                    # keep a bounded pipeline
+                    while len(pending) > self.num_workers:
+                        yield pending.pop(0).result()
+                for fut in pending:
+                    yield fut.result()
+                epoch += 1
