@@ -1,0 +1,96 @@
+"""``mmt rlhf``: GRPO RLHF training.
+
+Parity with the reference's ``mm verl`` command (``cli/verl.py:13-105`` +
+``verl/__init__.py`` TaskRunner): same capability — config-driven GRPO
+with reward-manager selection and a ``--dryrun`` that builds the whole
+trainer graph without training — without the Ray control plane (policy and
+rollout are colocated on the mesh, SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import click
+
+from multimeditron_tpu.cli import EPILOG, main_cli
+
+logger = logging.getLogger(__name__)
+
+
+@main_cli.command(epilog=EPILOG, context_settings=dict(
+    ignore_unknown_options=True, allow_extra_args=True))
+@click.option("--config", "-c", type=click.Path(exists=True), required=True)
+@click.option("--dryrun", is_flag=True,
+              help="Build the trainer (model, engine, rewards) without training")
+@click.option("--steps", default=None, type=int, help="Override number of GRPO steps")
+@click.pass_context
+def rlhf(ctx, config, dryrun, steps):
+    import jax
+
+    from multimeditron_tpu.cli.common import (
+        build_collator,
+        build_model,
+        build_tokenizer,
+        load_config,
+    )
+    from multimeditron_tpu.models.multimodal import TrainingMode
+    from multimeditron_tpu.rlhf.grpo import GRPOConfig, GRPOTrainer
+    from multimeditron_tpu.utils.jsonl import JSONLGenerator
+
+    cfg = load_config(config, ctx.args)
+    tokenizer, chat_template = build_tokenizer(cfg)
+    model = build_model(cfg, vocab_size=tokenizer.vocab_size,
+                        eos_token_idx=tokenizer.eos_id)
+    if cfg.get("base_model"):
+        from multimeditron_tpu.models.hf_export import import_multimodal
+
+        model, params = import_multimodal(cfg["base_model"])
+        model.config.eos_token_idx = tokenizer.eos_id
+    else:
+        params = model.bootstrap_params(jax.random.PRNGKey(cfg.get("seed", 0)))
+
+    collator = build_collator(cfg, model, tokenizer, chat_template,
+                              add_generation_prompt=True)
+    rl = cfg.get("rlhf", {})
+    grpo_cfg = GRPOConfig(
+        group_size=rl.get("group_size", 4),
+        prompts_per_step=rl.get("prompts_per_step", 4),
+        max_new_tokens=rl.get("max_new_tokens", 128),
+        temperature=rl.get("temperature", 1.0),
+        clip_eps=rl.get("clip_eps", 0.2),
+        kl_coef=rl.get("kl_coef", 0.02),
+        ppo_epochs=rl.get("ppo_epochs", 1),
+        learning_rate=rl.get("learning_rate", 1e-6),
+        training_mode=TrainingMode(cfg.get("training_mode", "LM_ONLY")),
+        reward_manager=rl.get("reward_manager", "naive"),
+        seq_bucket=rl.get("seq_bucket", 512),
+        max_slots=rl.get("max_slots", 8),
+        seed=cfg.get("seed", 0),
+    )
+    trainer = GRPOTrainer(model, params, collator, grpo_cfg)
+
+    if dryrun:
+        click.echo(
+            f"dryrun OK: model={model.config.llm.num_layers}L "
+            f"x{model.config.llm.hidden_size}, engine slots="
+            f"{grpo_cfg.max_slots}, reward_manager={grpo_cfg.reward_manager}"
+        )
+        return
+
+    prompt_path = rl["prompt_dataset"]
+    prompts = []
+    for row in JSONLGenerator(prompt_path):
+        prompts.append(
+            {
+                "sample": {
+                    "conversations": row["conversations"],
+                    "modalities": row.get("modalities", []),
+                },
+                "data_source": row.get("data_source", "exact_match"),
+                "ground_truth": row.get("ground_truth", ""),
+                "extra_info": row.get("extra_info"),
+            }
+        )
+    history = trainer.fit(prompts, num_steps=steps or rl.get("num_steps", 100))
+    click.echo(f"final metrics: {history[-1] if history else {}}")

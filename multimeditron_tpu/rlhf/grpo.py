@@ -1,0 +1,259 @@
+"""GRPO trainer: TPU-native replacement for the reference's verl/Ray/sglang
+RLHF stack (``verl/__init__.py``, ``cli/verl.py``).
+
+Where the reference spawns Ray actors (FSDP workers + an sglang rollout
+engine) and syncs weights between them, this trainer COLOCATES policy and
+rollout on the same mesh: rollouts go through the continuous-batching
+``ServingEngine`` holding a reference to the live policy params, so weight
+"sync" after each update is a pointer swap (SURVEY.md §7.3 hard part #6).
+
+Algorithm (GRPO):
+- sample G completions per prompt;
+- group-normalized advantages A = (r - mean_g) / (std_g + eps);
+- PPO-style clipped ratio objective over response tokens, with a k3 KL
+  penalty against the frozen initial policy;
+- masked AdamW update honoring the staged-freeze mode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from multimeditron_tpu.models.llama import llama_forward
+from multimeditron_tpu.models.multimodal import MultimodalModel, TrainingMode
+from multimeditron_tpu.rlhf.rewards import AutoRewardManager, compute_score
+from multimeditron_tpu.serve.engine import EngineConfig, ServingEngine
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class GRPOConfig:
+    group_size: int = 4              # rollouts per prompt
+    prompts_per_step: int = 4
+    max_new_tokens: int = 64
+    temperature: float = 1.0
+    clip_eps: float = 0.2
+    kl_coef: float = 0.02
+    ppo_epochs: int = 1
+    learning_rate: float = 1e-6
+    max_grad_norm: float = 1.0
+    training_mode: TrainingMode = TrainingMode.LM_ONLY
+    reward_manager: str = "naive"
+    seq_bucket: int = 512
+    max_slots: int = 8
+    seed: int = 0
+
+
+class GRPOTrainer:
+    def __init__(
+        self,
+        model: MultimodalModel,
+        params: Dict[str, Any],
+        collator,
+        cfg: GRPOConfig,
+        score_fn: Callable = compute_score,
+    ):
+        self.model = model
+        self.params = params
+        # Frozen snapshot: materialized COPIES (train_step donates the live
+        # params buffers; aliasing them would invalidate the reference).
+        self.ref_params = jax.tree.map(jnp.array, params)
+        self.collator = collator
+        self.cfg = cfg
+        self.reward_manager = AutoRewardManager.create(cfg.reward_manager, score_fn)
+
+        self.engine = ServingEngine(
+            model, params,
+            EngineConfig(
+                max_slots=cfg.max_slots,
+                max_seq_len=cfg.seq_bucket + cfg.max_new_tokens,
+                max_new_tokens=cfg.max_new_tokens,
+                prefill_buckets=(64, 128, 256, cfg.seq_bucket),
+                temperature=cfg.temperature,
+                seed=cfg.seed,
+            ),
+        )
+
+        mask = model.trainable_mask(params, cfg.training_mode)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.masked(optax.adamw(cfg.learning_rate), mask),
+        )
+        self.opt_state = self.tx.init(params)
+        self._mask = mask
+        self._logprob_fn = jax.jit(self._token_logprobs)
+        self._train_step = jax.jit(self._make_train_step(), donate_argnums=(0, 1))
+        self.step = 0
+
+    # ------------------------------------------------------------------
+    def _token_logprobs(self, params, input_ids, attention_mask, mm_inputs=None):
+        """Log p(token_t | <t) for every position t >= 1. (B, S-1)."""
+        embeds = self.model.embed(params, input_ids, mm_inputs)
+        logits, _ = llama_forward(
+            params["llm"], self.model.config.llm,
+            inputs_embeds=embeds,
+            attention_mask=attention_mask,
+        )
+        logprobs = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        targets = input_ids[:, 1:]
+        return jnp.take_along_axis(
+            logprobs, targets[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+
+    def _make_train_step(self):
+        cfg, model, mask = self.cfg, self.model, self._mask
+
+        def loss_fn(params, batch):
+            p = jax.tree.map(
+                lambda x, m: x if m else jax.lax.stop_gradient(x), params, mask
+            )
+            logprobs = self._token_logprobs(
+                p, batch["input_ids"], batch["attention_mask"],
+                batch.get("mm_inputs"),
+            )
+            resp_mask = batch["response_mask"][:, 1:].astype(jnp.float32)
+            adv = batch["advantages"][:, None]
+            ratio = jnp.exp(logprobs - batch["old_logprobs"])
+            clipped = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps)
+            pg = -jnp.minimum(ratio * adv, clipped * adv)
+            # k3 KL estimator vs the frozen reference policy
+            delta = batch["ref_logprobs"] - logprobs
+            kl = jnp.exp(delta) - delta - 1.0
+            per_token = pg + cfg.kl_coef * kl
+            denom = jnp.maximum(resp_mask.sum(), 1.0)
+            loss = (per_token * resp_mask).sum() / denom
+            mean_kl = (kl * resp_mask).sum() / denom
+            return loss, {"pg_loss": (pg * resp_mask).sum() / denom, "kl": mean_kl}
+
+        def train_step(params, opt_state, batch):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
+            return params, opt_state, metrics
+
+        return train_step
+
+    # ------------------------------------------------------------------
+    def _rollout(self, prompts: List[Dict[str, Any]]) -> Dict[str, Any]:
+        """Sample G completions per prompt; return padded training arrays."""
+        cfg = self.cfg
+        self.engine.params = self.params  # weight sync (pointer swap)
+
+        batches, meta = [], []
+        for prompt in prompts:
+            collated = self.collator([prompt["sample"]])
+            for _ in range(cfg.group_size):
+                batches.append(collated)
+                meta.append(prompt)
+        outputs = self.engine.generate(
+            batches, max_new_tokens=cfg.max_new_tokens,
+            temperature=cfg.temperature,
+        )
+
+        eos = self.model.config.eos_token_idx
+        S = cfg.seq_bucket
+        n = len(batches)
+        input_ids = np.zeros((n, S), np.int32)
+        attention_mask = np.zeros((n, S), np.int32)
+        response_mask = np.zeros((n, S), np.int32)
+        rollouts = []
+        for i, (collated, tokens) in enumerate(zip(batches, outputs)):
+            prompt_ids = np.asarray(collated["input_ids"][0])
+            plen = int(np.asarray(collated["attention_mask"][0]).sum())
+            resp = [t for t in tokens]
+            # truncate at (and including) EOS
+            if eos in resp:
+                resp = resp[: resp.index(eos) + 1]
+            seq = np.concatenate([prompt_ids[:plen], np.asarray(resp, np.int32)])
+            seq = seq[:S]
+            input_ids[i, : len(seq)] = seq
+            attention_mask[i, : len(seq)] = 1
+            response_mask[i, plen : len(seq)] = 1
+            rollouts.append(
+                {
+                    "response": self._decode(resp, eos),
+                    "response_len": len(resp),
+                    "data_source": meta[i].get("data_source", "exact_match"),
+                    "ground_truth": meta[i].get("ground_truth", ""),
+                    "extra_info": meta[i].get("extra_info"),
+                }
+            )
+
+        rewards = self.reward_manager(rollouts)
+        G = cfg.group_size
+        groups = rewards.reshape(-1, G)
+        adv = (groups - groups.mean(axis=1, keepdims=True)) / (
+            groups.std(axis=1, keepdims=True) + 1e-6
+        )
+        return {
+            "input_ids": jnp.asarray(input_ids),
+            "attention_mask": jnp.asarray(attention_mask),
+            "response_mask": jnp.asarray(response_mask),
+            "advantages": jnp.asarray(adv.reshape(-1), jnp.float32),
+            "rewards": rewards,
+        }
+
+    def _decode(self, tokens, eos) -> str:
+        tok = getattr(self.collator, "tokenizer", None)
+        ids = [t for t in tokens if t != eos]
+        if tok is None:
+            return " ".join(map(str, ids))
+        try:
+            return tok.decode(ids)
+        except Exception:
+            return " ".join(map(str, ids))
+
+    # ------------------------------------------------------------------
+    def train_on_prompts(self, prompts: List[Dict[str, Any]]) -> Dict[str, float]:
+        """One GRPO iteration: rollout -> advantages -> ppo_epochs updates."""
+        batch = self._rollout(prompts)
+        old_logprobs = self._logprob_fn(
+            self.params, batch["input_ids"], batch["attention_mask"]
+        )
+        ref_logprobs = self._logprob_fn(
+            self.ref_params, batch["input_ids"], batch["attention_mask"]
+        )
+        train_batch = {
+            "input_ids": batch["input_ids"],
+            "attention_mask": batch["attention_mask"],
+            "response_mask": batch["response_mask"],
+            "advantages": batch["advantages"],
+            "old_logprobs": old_logprobs,
+            "ref_logprobs": ref_logprobs,
+        }
+        metrics = {}
+        for _ in range(self.cfg.ppo_epochs):
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, train_batch
+            )
+        self.step += 1
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["reward_mean"] = float(batch["rewards"].mean())
+        metrics["reward_std"] = float(batch["rewards"].std())
+        return metrics
+
+    def fit(self, prompt_dataset: List[Dict[str, Any]], num_steps: int) -> List[Dict[str, float]]:
+        rng = np.random.default_rng(self.cfg.seed)
+        history = []
+        for step in range(num_steps):
+            idx = rng.choice(
+                len(prompt_dataset),
+                size=min(self.cfg.prompts_per_step, len(prompt_dataset)),
+                replace=False,
+            )
+            prompts = [prompt_dataset[int(i)] for i in idx]
+            metrics = self.train_on_prompts(prompts)
+            logger.info("GRPO step %d: %s", step, metrics)
+            history.append(metrics)
+        return history

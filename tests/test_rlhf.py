@@ -1,0 +1,130 @@
+import jax
+import numpy as np
+import pytest
+
+from multimeditron_tpu.data.chat_template import ChatTemplate
+from multimeditron_tpu.data.collator import DataCollatorForMultimodal
+from multimeditron_tpu.models.multimodal import MultimodalModel, TrainingMode
+from multimeditron_tpu.rlhf.grpo import GRPOConfig, GRPOTrainer
+from multimeditron_tpu.rlhf.rewards import (
+    AutoRewardManager,
+    compute_score,
+)
+from tests.test_multimodal import ATTACH, tiny_mm_config
+from tests.fixtures.toy_tokenizer import ToyTokenizer
+
+
+# ----------------------------------------------------------------------
+# Rewards
+# ----------------------------------------------------------------------
+def _rollouts():
+    return [
+        {"response": "the answer is 42", "ground_truth": "42", "data_source": "contains"},
+        {"response": "no idea", "ground_truth": "42", "data_source": "contains"},
+    ]
+
+
+def test_reward_managers():
+    naive = AutoRewardManager.create("naive", compute_score)
+    np.testing.assert_array_equal(naive(_rollouts()), [1.0, 0.0])
+
+    prime = AutoRewardManager.create("prime", compute_score)
+    rollouts = [{"response": "aaa", "ground_truth": "a", "data_source": "char_count"}]
+    assert prime(rollouts)[0] == 1.0  # clipped from 3
+
+    dapo = AutoRewardManager.create(
+        "dapo", compute_score, max_response_len=10, overlong_buffer=5, penalty=1.0
+    )
+    rollouts = [
+        {"response": "x" * 10, "response_len": 10, "ground_truth": "x",
+         "data_source": "contains"},
+    ]
+    assert dapo(rollouts)[0] == pytest.approx(0.0)  # 1.0 - full penalty
+
+
+def test_compute_score_dispatch():
+    assert compute_score("exact_match", " 42 ", "42") == 1.0
+    assert compute_score("contains", "the 42 here", "42") == 1.0
+    assert compute_score("char_count", "banana", "a") == 3.0
+    assert compute_score("unknown_source", "42", "42") == 1.0  # fallback
+
+
+# ----------------------------------------------------------------------
+# GRPO end-to-end (tiny): reward teaching the policy to emit a target word
+# ----------------------------------------------------------------------
+@pytest.mark.slow
+def test_grpo_increases_reward():
+    model = MultimodalModel(tiny_mm_config())
+    model.config.eos_token_idx = 2
+    params = model.init_params(jax.random.PRNGKey(0))
+    tok = ToyTokenizer()
+    target_word = "target"
+    tok.token_to_id(target_word)  # ensure in vocab
+
+    collator = DataCollatorForMultimodal(
+        tokenizer=tok,
+        modality_processors=model.processors(),
+        modality_loaders={},
+        attachment_token=ATTACH,
+        chat_template=ChatTemplate.llama(),
+        add_generation_prompt=True,
+        pad_to_multiple=8,
+    )
+    cfg = GRPOConfig(
+        group_size=4,
+        prompts_per_step=2,
+        max_new_tokens=4,
+        temperature=1.0,
+        learning_rate=5e-3,
+        training_mode=TrainingMode.LM_ONLY,
+        seq_bucket=64,
+        max_slots=8,
+        kl_coef=0.0,
+    )
+    trainer = GRPOTrainer(model, params, collator, cfg)
+
+    prompts = [
+        {"sample": {"conversations": [{"role": "user", "content": "say the word"}],
+                    "modalities": []},
+         "data_source": "contains", "ground_truth": target_word},
+        {"sample": {"conversations": [{"role": "user", "content": "what now"}],
+                    "modalities": []},
+         "data_source": "contains", "ground_truth": target_word},
+    ]
+
+    history = trainer.fit(prompts, num_steps=6)
+    first = np.mean([h["reward_mean"] for h in history[:2]])
+    last = np.mean([h["reward_mean"] for h in history[-2:]])
+    assert all(np.isfinite(h["loss"]) for h in history)
+    assert last >= first  # reward should not decrease while optimizing it
+
+
+# ----------------------------------------------------------------------
+# Sandbox
+# ----------------------------------------------------------------------
+def test_sandbox_exec():
+    from multimeditron_tpu.rlhf.sandbox import SandboxExecutor
+
+    sbx = SandboxExecutor(timeout_sec=5, mem_mb=2048)
+    res = sbx.run_code("print(21 * 2)")
+    assert res.returncode == 0, res.stderr
+    assert res.stdout.strip() == "42"
+    assert not res.timed_out
+
+
+def test_sandbox_timeout():
+    from multimeditron_tpu.rlhf.sandbox import SandboxExecutor
+
+    sbx = SandboxExecutor(timeout_sec=2, cpu_sec=60, mem_mb=2048)
+    res = sbx.run_code("import time; time.sleep(30); print('late')")
+    assert res.timed_out
+    assert "late" not in res.stdout
+
+
+def test_sandbox_error_propagates():
+    from multimeditron_tpu.rlhf.sandbox import SandboxExecutor
+
+    sbx = SandboxExecutor(timeout_sec=5, mem_mb=2048)
+    res = sbx.run_code("raise ValueError('boom')")
+    assert res.returncode != 0
+    assert "boom" in res.stderr
