@@ -211,9 +211,17 @@ class MultimodalTrainer:
         logger: Optional[MetricsLogger] = None,
         checkpointer=None,
     ) -> Dict[str, float]:
+        from multimeditron_tpu.profiling import ThroughputMeter, profiler_enabled
+
         logger = logger or MetricsLogger(self.cfg)
         num_steps = num_steps or self.cfg.total_steps
-        profile_on = os.environ.get("ENABLE_JAX_PROFILER") == "1"
+        profile_on = profiler_enabled()
+        n_params = sum(
+            x.size for x, m in zip(
+                jax.tree.leaves(self.params), jax.tree.leaves(self.trainable_mask)
+            ) if m
+        )
+        meter = ThroughputMeter(num_params=n_params)
         last = {}
         t_prev = time.time()
         for batch in data_iter:
@@ -229,7 +237,7 @@ class MultimodalTrainer:
             dt = time.time() - t_prev
             t_prev = time.time()
             metrics["lr"] = float(self._schedule(self.step))
-            metrics["tokens_per_sec"] = tokens / max(dt, 1e-9)
+            metrics.update(meter.update(tokens))
             metrics["step_time_s"] = dt
             logger.log(self.step, metrics)
             last = metrics

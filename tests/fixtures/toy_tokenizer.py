@@ -72,7 +72,9 @@ class ToyTokenizer:
         return [self._add(t) for t in self._split(text)]
 
     def decode(self, ids: List[int]) -> str:
-        return " ".join(self._inv[i] for i in ids)
+        return " ".join(
+            self._inv[i] if 0 <= i < len(self._inv) else f"<{i}>" for i in ids
+        )
 
     def token_to_id(self, token: str) -> int:
         return self._add(token)
