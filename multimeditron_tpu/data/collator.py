@@ -217,4 +217,8 @@ class DataCollatorForMultimodal:
                 new_last = np.full((2,), shifted[-1].max(), np.int64)
                 pos2d[b, start:end] = shifted
                 pos2d[b, end:] += (new_last - old_last)[None, :]
+        # Keep pad rows at 0 (the reference lets the shift drag pads
+        # negative, data_loader.py:188 — harmless there, but clean zeros are
+        # safer for rope on TPU).
+        pos2d = np.where(attention_mask[..., None] == 0, 0, pos2d)
         return pos2d.astype(np.int32)

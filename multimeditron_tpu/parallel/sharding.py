@@ -92,15 +92,25 @@ def param_sharding_rules(params: Params, mesh: Mesh) -> Params:
 
 
 def shard_params(params: Params, mesh: Mesh) -> Params:
-    """Device_put params with their sharding rules (ZeRO-3-style layout)."""
+    """Device_put params with their sharding rules (ZeRO-3-style layout).
+
+    Single-device meshes skip explicit NamedSharding placement: it is a
+    no-op layout-wise but measured 5.6x slower per train step through the
+    axon TPU relay (NamedSharding-committed buffers take a slow execute
+    path there)."""
+    if mesh.devices.size == 1:
+        return params
     shardings = param_sharding_rules(params, mesh)
     return jax.tree.map(jax.device_put, params, shardings)
 
 
 def batch_sharding(mesh: Mesh, pytree_example: Any = None):
-    """Batch arrays shard their leading dim over the (dp, fsdp) data axes."""
+    """Batch arrays shard their leading dim over the (dp, fsdp) data axes.
+    Returns None sharding on single-device meshes (see shard_params)."""
 
     def leaf(x=None):
+        if mesh.devices.size == 1:
+            return None
         return NamedSharding(mesh, P(("dp", "fsdp")))
 
     if pytree_example is None:

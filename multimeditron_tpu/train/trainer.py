@@ -143,10 +143,19 @@ class MultimodalTrainer:
             # optimizer applies every grad_accum calls (reference:
             # gradient_accumulation_steps, config_alignment.yaml:42).
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=config.grad_accum)
-        with self.mesh:
+        # Single-device meshes skip the mesh context entirely: jit-under-mesh
+        # commits result buffers to NamedShardings, which take a ~5x slower
+        # execute path through the axon TPU relay (see parallel/sharding.py).
+        self._use_mesh = self.mesh.devices.size > 1
+        with self._mesh_ctx():
             self.opt_state = jax.jit(self.tx.init)(self.params)
         self.step = 0
         self._train_step = self._build_train_step()
+
+    def _mesh_ctx(self):
+        import contextlib
+
+        return self.mesh if self._use_mesh else contextlib.nullcontext()
 
     # ------------------------------------------------------------------
     def _build_train_step(self) -> Callable:
@@ -197,7 +206,7 @@ class MultimodalTrainer:
         """One microbatch step. With grad_accum > 1 the optimizer applies
         once every grad_accum calls (optax.MultiSteps)."""
         batch = jax.tree.map(jnp.asarray, batch)
-        with self.mesh:
+        with self._mesh_ctx():
             self.params, self.opt_state, metrics = self._train_step(
                 self.params, self.opt_state, batch
             )
