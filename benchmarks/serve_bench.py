@@ -1,0 +1,104 @@
+"""Serving benchmark: TTFT + decode throughput through the
+continuous-batching engine on a ~1B multimodal model (run on TPU).
+
+Usage: python benchmarks/serve_bench.py [--slots 8] [--new-tokens 64]
+Prints per-request TTFT percentiles and aggregate decode tokens/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--slots", type=int, default=8)
+    parser.add_argument("--requests", type=int, default=16)
+    parser.add_argument("--new-tokens", type=int, default=64)
+    parser.add_argument("--prompt-len", type=int, default=512)
+    parser.add_argument("--layers", type=int, default=16)
+    parser.add_argument("--hidden", type=int, default=2048)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimeditron_tpu.modalities.image_clip import ImageConfig
+    from multimeditron_tpu.models.llama import LlamaConfig
+    from multimeditron_tpu.models.multimodal import MultimodalConfig, MultimodalModel
+    from multimeditron_tpu.serve.engine import EngineConfig, ServingEngine
+
+    llm = LlamaConfig(
+        vocab_size=32768, hidden_size=args.hidden,
+        intermediate_size=int(args.hidden * 2.75),
+        num_layers=args.layers, num_heads=16, num_kv_heads=8,
+        dtype=jnp.bfloat16,
+    )
+    img = ImageConfig(
+        model_type="meditron_clip", hidden_size=args.hidden, clip_name="",
+        image_size=224, patch_size=16, vision_hidden_size=768,
+        vision_layers=12, vision_heads=12, vision_intermediate_size=3072,
+        param_dtype="bfloat16",
+    )
+    model = MultimodalModel(MultimodalConfig(llm=llm, modalities=[img]))
+    model.config.eos_token_idx = 1  # never sampled (random model emits junk)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    engine = ServingEngine(
+        model, params,
+        EngineConfig(
+            max_slots=args.slots,
+            max_seq_len=args.prompt_len + args.new_tokens + 64,
+            max_new_tokens=args.new_tokens,
+            prefill_buckets=(args.prompt_len,),
+            temperature=0.7,
+        ),
+    )
+
+    rng = np.random.default_rng(0)
+    n_emb = 196
+
+    def make_request(i):
+        ids = rng.integers(2, 32768, (1, args.prompt_len)).astype(np.int32)
+        pos = np.arange(8, 8 + n_emb, dtype=np.int32)
+        return {
+            "input_ids": ids,
+            "attention_mask": np.ones_like(ids),
+            "mm_inputs": {
+                "image": {
+                    "values": rng.normal(size=(1, 224, 224, 3)).astype(np.float32),
+                    "batch_idx": np.zeros((n_emb,), np.int32),
+                    "token_pos": pos,
+                }
+            },
+        }
+
+    # warmup/compile prefill+decode
+    warm = engine.submit(make_request(-1), max_new_tokens=4)
+    engine.run()
+
+    reqs = [engine.submit(make_request(i)) for i in range(args.requests)]
+    t0 = time.time()
+    engine.run()
+    wall = time.time() - t0
+
+    ttfts = sorted(r.ttft for r in reqs)
+    total_tokens = sum(len(r.tokens) for r in reqs)
+    decode_tokens = total_tokens - len(reqs)
+    print(f"requests={len(reqs)} slots={args.slots} prompt={args.prompt_len} "
+          f"new={args.new_tokens}")
+    print(f"TTFT p50={ttfts[len(ttfts)//2]*1000:.0f} ms "
+          f"p95={ttfts[int(len(ttfts)*0.95)]*1000:.0f} ms "
+          f"(includes queue wait)")
+    print(f"aggregate: {total_tokens} tokens in {wall:.2f}s -> "
+          f"{total_tokens/wall:.0f} tok/s; decode-only {decode_tokens/wall:.0f} tok/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,9 @@ class TrainerConfig:
     b2: float = 0.999
     max_grad_norm: float = 1.0
     grad_accum: int = 1
+    # "bfloat16" halves first-moment memory (ZeRO-offload-free fit for 8B
+    # on 16GB v5e chips); None keeps fp32 moments.
+    adam_moment_dtype: Optional[str] = None
     training_mode: TrainingMode = TrainingMode.ALIGNMENT
     # mesh
     dp: Optional[int] = None
@@ -134,6 +137,7 @@ class MultimodalTrainer:
                     b1=config.b1,
                     b2=config.b2,
                     weight_decay=config.weight_decay,
+                    mu_dtype=config.adam_moment_dtype,
                 ),
                 self.trainable_mask,
             ),
