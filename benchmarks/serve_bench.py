@@ -79,8 +79,10 @@ def main():
             },
         }
 
-    # warmup/compile prefill+decode
-    warm = engine.submit(make_request(-1), max_new_tokens=4)
+    # warmup/compile: one full round at the same arrival pattern so all
+    # batched-prefill and decode-chunk variants are compiled before timing
+    warm = [engine.submit(make_request(-1 - i), max_new_tokens=4)
+            for i in range(args.requests)]
     engine.run()
 
     reqs = [engine.submit(make_request(i)) for i in range(args.requests)]

@@ -96,15 +96,15 @@ class ServingEngine:
     # ------------------------------------------------------------------
     # Compiled functions
     # ------------------------------------------------------------------
-    def _build_prefill_fn(self, bucket: int) -> Callable:
+    def _build_prefill_fn(self, bucket: int, n: int = 1) -> Callable:
         model, cfg = self.model, self.cfg
         llm = model.config.llm
 
-        def prefill(params, cache, input_ids, attention_mask, mm_inputs, slot):
-            # Encode + splice + causal prefill into a fresh local cache,
-            # then copy the written region into the slot.
+        def prefill(params, cache, input_ids, attention_mask, mm_inputs, slots):
+            # Encode + splice + causal prefill of n requests into a fresh
+            # local cache, then copy each written region into its slot.
             embeds = model.embed(params, input_ids, mm_inputs)
-            local = init_kv_cache(llm, 1, bucket, dtype=cache["k"].dtype)
+            local = init_kv_cache(llm, n, bucket, dtype=cache["k"].dtype)
             logits, local = llama_forward(
                 params["llm"], llm,
                 inputs_embeds=embeds,
@@ -113,15 +113,19 @@ class ServingEngine:
                 prefill=True,
                 attn_impl=cfg.attn_impl,
             )
-            length = attention_mask.sum().astype(jnp.int32)
-            k = jax.lax.dynamic_update_slice(
-                cache["k"], local["k"], (0, slot, 0, 0, 0)
-            )
-            v = jax.lax.dynamic_update_slice(
-                cache["v"], local["v"], (0, slot, 0, 0, 0)
-            )
-            last_logits = logits[0, length - 1]
-            return k, v, length, last_logits
+            lengths = attention_mask.sum(axis=-1).astype(jnp.int32)
+            k, v = cache["k"], cache["v"]
+            for j in range(n):  # static unroll
+                k = jax.lax.dynamic_update_slice(
+                    k, local["k"][:, j : j + 1], (0, slots[j], 0, 0, 0)
+                )
+                v = jax.lax.dynamic_update_slice(
+                    v, local["v"][:, j : j + 1], (0, slots[j], 0, 0, 0)
+                )
+            last_logits = jnp.take_along_axis(
+                logits, (lengths - 1)[:, None, None], axis=1
+            )[:, 0]
+            return k, v, lengths, last_logits
 
         return jax.jit(prefill, donate_argnums=(1,))
 
@@ -211,48 +215,105 @@ class ServingEngine:
             f"{self.cfg.prefill_buckets[-1]}"
         )
 
-    def _admit(self) -> None:
-        """Move queued requests into free slots (prefill)."""
-        for slot in range(self.cfg.max_slots):
-            if not self.queue:
-                return
-            if self.active[slot] or self.slot_request[slot] is not None:
-                continue
-            req = self.queue.pop(0)
-            batch = req.batch
-            S = batch["input_ids"].shape[1]
-            bucket = self._bucket_for(S)
-            # re-pad the sample to the bucket length
-            def pad_to(x, target, value=0):
-                x = np.asarray(x)
-                if x.shape[1] == target:
-                    return x
-                pad = [(0, 0), (0, target - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
-                return np.pad(x, pad, constant_values=value)
+    @staticmethod
+    def _pad_to(x, target, value=0):
+        x = np.asarray(x)
+        if x.shape[1] == target:
+            return x
+        pad = [(0, 0), (0, target - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
+        return np.pad(x, pad, constant_values=value)
 
-            input_ids = jnp.asarray(pad_to(batch["input_ids"], bucket))
-            mask = jnp.asarray(pad_to(batch["attention_mask"], bucket))
-            mm = batch.get("mm_inputs")
-            if mm is not None:
-                mm = jax.tree.map(jnp.asarray, mm)
-
-            if bucket not in self._prefill_fns:
-                self._prefill_fns[bucket] = self._build_prefill_fn(bucket)
-            k, v, length, last_logits = self._prefill_fns[bucket](
-                self.params,
-                {"k": self.cache["k"], "v": self.cache["v"], "length": jnp.asarray(self.lengths)},
-                input_ids, mask, mm, slot,
+    def _request_signature(self, req: Request) -> tuple:
+        bucket = self._bucket_for(req.batch["input_ids"].shape[1])
+        mm = req.batch.get("mm_inputs") or {}
+        mm_sig = tuple(
+            sorted(
+                (mtype, tuple(np.asarray(p["values"]).shape),
+                 tuple(np.asarray(p["batch_idx"]).shape))
+                for mtype, p in mm.items()
             )
-            self.cache = {"k": k, "v": v, "length": self.cache["length"]}
+        )
+        return (bucket, mm_sig)
 
-            # first token from the prefill logits
+    def _admit(self) -> None:
+        """Move queued requests into free slots: requests with identical
+        shape signatures (prompt bucket + modality shapes) prefill in ONE
+        batched compiled call, collapsing N sequential prefills' dispatch
+        latency into one (continuous batching on the prefill side too)."""
+        free = [
+            s for s in range(self.cfg.max_slots)
+            if not self.active[s] and self.slot_request[s] is None
+        ]
+        while self.queue and free:
+            take = self.queue[: len(free)]
+            sig = self._request_signature(take[0])
+            group = [r for r in take if self._request_signature(r) == sig]
+            # Cap group size to a power of two so the set of compiled
+            # batched-prefill variants stays logarithmic.
+            cap = 1 << (len(group).bit_length() - 1)
+            group = group[:cap]
+            # FIFO within the admissible window; mixed signatures prefill
+            # in consecutive groups.
+            for r in group:
+                self.queue.remove(r)
+            slots = free[: len(group)]
+            free = free[len(group):]
+            self._prefill_group(group, slots, sig)
+
+    def _prefill_group(self, group: List[Request], slots: List[int], sig) -> None:
+        bucket, _ = sig
+        n = len(group)
+        input_ids = np.concatenate(
+            [self._pad_to(r.batch["input_ids"], bucket) for r in group]
+        )
+        mask = np.concatenate(
+            [self._pad_to(r.batch["attention_mask"], bucket) for r in group]
+        )
+        mm = None
+        if group[0].batch.get("mm_inputs"):
+            mm = {}
+            for mtype in group[0].batch["mm_inputs"]:
+                packs = [r.batch["mm_inputs"][mtype] for r in group]
+                n_items = np.asarray(packs[0]["values"]).shape[0]
+                values = np.concatenate([np.asarray(p["values"]) for p in packs])
+                batch_idx = np.concatenate(
+                    [
+                        # local batch row j stays j; padded slots (>= 1 in a
+                        # B=1 request batch) map to n (dropped)
+                        np.where(np.asarray(p["batch_idx"]) < 1, j, n).astype(np.int32)
+                        for j, p in enumerate(packs)
+                    ]
+                )
+                token_pos = np.concatenate(
+                    [np.asarray(p["token_pos"]) for p in packs]
+                ).astype(np.int32)
+                mm[mtype] = {
+                    "values": jnp.asarray(values),
+                    "batch_idx": jnp.asarray(batch_idx),
+                    "token_pos": jnp.asarray(token_pos),
+                }
+
+        key = (bucket, n, sig[1])
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = self._build_prefill_fn(bucket, n)
+        k, v, lengths, last_logits = self._prefill_fns[key](
+            self.params,
+            {"k": self.cache["k"], "v": self.cache["v"]},
+            jnp.asarray(input_ids), jnp.asarray(mask), mm,
+            jnp.asarray(np.asarray(slots, np.int32)),
+        )
+        self.cache = {"k": k, "v": v, "length": self.cache["length"]}
+        lengths = np.asarray(lengths)
+        last_logits = np.asarray(last_logits)
+
+        now = time.time()
+        for j, (req, slot) in enumerate(zip(group, slots)):
             self._rng_key, sub = jax.random.split(self._rng_key)
-            first = self._sample_host(last_logits, sub, req.temperature)
-            req.first_token_time = time.time()
+            first = self._sample_host(jnp.asarray(last_logits[j]), sub, req.temperature)
+            req.first_token_time = now
             req.tokens.append(int(first))
-
             self.slot_request[slot] = req
-            self.lengths[slot] = int(length)
+            self.lengths[slot] = int(lengths[j])
             self.slot_budget[slot] = req.max_new_tokens
             self.slot_generated[slot] = 1
             self.slot_temperature[slot] = req.temperature
