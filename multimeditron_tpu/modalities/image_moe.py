@@ -54,6 +54,7 @@ class MOEImageConfig(ImageConfig):
     fusion_method: str = "weighted_average"
     cross_attn_heads: int = 8
     gating_class_names: List[str] = dataclasses.field(default_factory=list)
+    gating_resnet_depth: int = 50
 
     def __post_init__(self):
         if self.num_experts == 0:
@@ -92,6 +93,7 @@ class _MOEBase(BaseModality):
                 num_classes=self.num_experts,
                 top_k=config.top_k_experts,
                 class_names=config.gating_class_names,
+                resnet_depth=config.gating_resnet_depth,
             )
         )
         # gating-class -> expert permutation (reference :126-138)

@@ -209,7 +209,10 @@ class MultimodalTrainer:
     def train_step(self, batch: Dict[str, Any]) -> Dict[str, float]:
         """One microbatch step. With grad_accum > 1 the optimizer applies
         once every grad_accum calls (optax.MultiSteps)."""
-        batch = jax.tree.map(jnp.asarray, batch)
+        if self._use_mesh:
+            batch = self.shard_batch(batch)
+        else:
+            batch = jax.tree.map(jnp.asarray, batch)
         with self._mesh_ctx():
             self.params, self.opt_state, metrics = self._train_step(
                 self.params, self.opt_state, batch

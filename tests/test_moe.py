@@ -32,6 +32,7 @@ def moe_config(fusion="weighted_average", pep=False, **kw):
         fusion_method=fusion,
         generalist_idx=-1,
         cross_attn_heads=4,
+        gating_resnet_depth=18,
         **kw,
     )
 
