@@ -187,12 +187,24 @@ class MultimodalTrainer:
 
     # ------------------------------------------------------------------
     def shard_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
-        """Host numpy batch -> device arrays sharded over the data axes."""
+        """Host numpy batch -> device arrays sharded over the data axes.
+        Arrays whose leading dim doesn't divide the data extent (e.g.
+        modality item stacks) are replicated; GSPMD re-shards as needed."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
         sharding = batch_sharding(self.mesh)
+        n_data = (
+            self.mesh.shape["dp"] * self.mesh.shape["fsdp"]
+            if self._use_mesh else 1
+        )
+        replicated = (
+            NamedSharding(self.mesh, PartitionSpec()) if self._use_mesh else None
+        )
 
         def put(x):
             x = np.asarray(x)
-            return jax.device_put(x, sharding)
+            target = sharding if (x.ndim > 0 and x.shape[0] % n_data == 0) else replicated
+            return jax.device_put(x, target)
 
         out = {}
         for k, v in batch.items():
