@@ -481,8 +481,8 @@ def flash_attention(
     kv_mask: Optional[jax.Array] = None,
     causal: bool = True,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: bool = False,
     causal_offset: Optional[int] = None,
 ) -> jax.Array:
@@ -498,6 +498,14 @@ def flash_attention(
     assert H % Hkv == 0, f"GQA requires H % Hkv == 0, got {H=} {Hkv=}"
     if sm_scale is None:
         sm_scale = D ** -0.5
+
+    # Tuned on v5e (S=4096, D=128): 1024x1024 blocks reach 44 TFLOP/s fwd
+    # vs 35 at 512 and 10.5 at 128; larger head dims fall back to 512 to
+    # stay inside VMEM.
+    if block_q is None:
+        block_q = 1024 if D <= LANES else 512
+    if block_k is None:
+        block_k = 1024 if D <= LANES else 512
 
     block_q = min(block_q, _round_up(Sq, SUBLANES))
     block_k = min(block_k, _round_up(Skv, LANES))
