@@ -56,26 +56,34 @@ def main() -> None:
         rng.integers(0, 256, (iters, batch, 224, 224, 3), dtype=np.uint8)
     )
 
-    # W8A8 int8 serving path (verified cosine >= 0.999 vs bf16 in tests;
-    # the bf16 path measures ~530 img/s — the v5e bf16 matmul roof for
-    # these shapes — int8 lifts it ~12%).
+    # Statically-calibrated W8A8 int8 serving path (cosine >= 0.999 vs bf16
+    # verified in tests; bf16 measures ~530 img/s = the v5e bf16 matmul
+    # roof for these shapes; dynamic int8 ~590; static-calibrated ~680).
+    from multimeditron_tpu.models.vit_quant import calibrate_act_scales
+
     qparams = quantize_vit_params(params)
+    calib_pixels = preprocess_images_device(image_stack[0][:16], cfg.image_size)
+    act_scales = jax.jit(calibrate_act_scales, static_argnums=(1,))(
+        params, cfg, calib_pixels
+    )
 
     @jax.jit
-    def encode_many(qparams, proj, stack):
+    def encode_many(qparams, proj, act_scales, stack):
         def body(acc, images_uint8):
             pixels = preprocess_images_device(images_uint8, cfg.image_size)
-            feats = vit_forward_int8(qparams, cfg, pixels, drop_cls=True)
+            feats = vit_forward_int8(
+                qparams, cfg, pixels, drop_cls=True, act_scales=act_scales
+            )
             out = mlp_projector_forward(proj, feats)
             return acc + jnp.sum(out.astype(jnp.float32)), None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), stack)
         return acc
 
-    float(encode_many(qparams, proj, image_stack))  # warmup/compile
+    float(encode_many(qparams, proj, act_scales, image_stack))  # warmup
 
     t0 = time.perf_counter()
-    checksum = float(encode_many(qparams, proj, image_stack))
+    checksum = float(encode_many(qparams, proj, act_scales, image_stack))
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
 
