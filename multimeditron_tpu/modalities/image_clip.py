@@ -161,8 +161,37 @@ class ImageModality(BaseModality):
         return {"embedder": tower, "projector": proj}
 
     def encode(self, params: Dict[str, Any], values: jax.Array) -> jax.Array:
-        feats = vit_forward(params["embedder"], self.vit_cfg, values, drop_cls=True)
+        embedder = params["embedder"]
+        if "q_proj_q" in embedder.get("layers", {}):
+            # int8-quantized tower (see quantize_params / models/vit_quant.py)
+            from multimeditron_tpu.models.vit_quant import vit_forward_int8
+
+            feats = vit_forward_int8(
+                embedder, self.vit_cfg, values, drop_cls=True,
+                act_scales=params.get("act_scales"),
+            )
+        else:
+            feats = vit_forward(embedder, self.vit_cfg, values, drop_cls=True)
         return mlp_projector_forward(params["projector"], feats)
+
+    def quantize_params(
+        self, params: Dict[str, Any], calibration_values: Optional[jax.Array] = None
+    ) -> Dict[str, Any]:
+        """W8A8-quantize the tower for inference/serving (optional static
+        activation calibration). The returned tree routes ``encode``
+        through the int8 path automatically."""
+        from multimeditron_tpu.models.vit_quant import (
+            calibrate_act_scales,
+            quantize_vit_params,
+        )
+
+        out = dict(params)
+        out["embedder"] = quantize_vit_params(params["embedder"])
+        if calibration_values is not None:
+            out["act_scales"] = calibrate_act_scales(
+                params["embedder"], self.vit_cfg, calibration_values
+            )
+        return out
 
     def trainable_mask(
         self, params: Dict[str, Any], train_embedder: bool, train_projector: bool

@@ -107,6 +107,26 @@ def test_cli_train_smoke(workdir):
     assert (out_dir / "ckpt").exists()
 
 
+def test_cli_train_resume(workdir):
+    """--resume restores params/opt_state/step from the latest orbax
+    checkpoint (reference resume_from_checkpoint parity)."""
+    root, cfg_path, config = workdir
+    from multimeditron_tpu.cli import main_cli
+
+    runner = CliRunner()
+    result = runner.invoke(
+        main_cli,
+        ["train", "-c", str(cfg_path), "--resume", "training_args.max_steps=3"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    metrics = [json.loads(l) for l in open(root / "out" / "metrics.jsonl")]
+    # first run logged steps 1..2; resumed run continues from 3
+    assert metrics[-1]["step"] == 3
+    steps = [m["step"] for m in metrics]
+    assert steps.count(3) == 1
+
+
 def test_cli_preprocess_ds(workdir, tmp_path):
     root, _, _ = workdir
     from multimeditron_tpu.cli import main_cli
