@@ -200,3 +200,22 @@ class ImageModality(BaseModality):
             "embedder": jax.tree.map(lambda _: train_embedder, params["embedder"]),
             "projector": jax.tree.map(lambda _: train_projector, params["projector"]),
         }
+
+
+@dataclasses.dataclass
+class SigLIPImageConfig(ImageConfig):
+    """SigLIP tower defaults (BASELINE config #3: SigLIP + Llama SFT)."""
+
+    tower: str = "siglip"
+    clip_name: str = "google/siglip-base-patch16-224"
+    patch_size: int = 16
+    vision_hidden_size: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    vision_intermediate_size: int = 3072
+
+
+@AutoModality.register("meditron_siglip")
+class SigLIPImageModality(ImageModality):
+    config_class = SigLIPImageConfig
+    processor_class = ImageProcessor

@@ -80,6 +80,15 @@ def generate(
     attention_mask = jnp.asarray(batch["attention_mask"], jnp.int32)
     B, S = input_ids.shape
     lengths = attention_mask.sum(axis=-1).astype(jnp.int32)
+    # Generation requires RIGHT padding (tokens at [0, len)); a left-padded
+    # batch (reference inference default) must be re-collated with
+    # padding_side="right".
+    first_valid = jnp.argmax(attention_mask, axis=-1)
+    if bool((first_valid != 0).any()) and bool((lengths > 0).all()):
+        raise ValueError(
+            "generate() expects right-padded batches; re-collate with "
+            "padding_side='right' (see module docstring)"
+        )
 
     mm_inputs = batch.get("mm_inputs")
     if mm_inputs is not None:
