@@ -63,6 +63,7 @@ class DataLoader:
         drop_last: bool = True,
         num_workers: int = 2,
         num_epochs: Optional[int] = None,
+        skip_errors: bool = True,
     ):
         self.dataset = dataset
         self.collator = collator
@@ -72,6 +73,11 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.num_epochs = num_epochs
+        # Input-fault tolerance: a batch whose collation raises (corrupt
+        # image, malformed sample) is logged and skipped instead of killing
+        # a multi-hour run. The reference only handles this in its expert
+        # trainer (corrupt-image filter, train_clip.py:495-510).
+        self.skip_errors = skip_errors
         if drop_last and len(dataset) < batch_size:
             raise ValueError(
                 f"Dataset has {len(dataset)} samples but the global batch "
@@ -89,6 +95,15 @@ class DataLoader:
                 return
             yield list(idx)
 
+    def _result(self, fut) -> Optional[Dict[str, Any]]:
+        try:
+            return fut.result()
+        except Exception:
+            if not self.skip_errors:
+                raise
+            logger.exception("Skipping batch that failed to collate")
+            return None
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         epoch = 0
         with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -99,7 +114,11 @@ class DataLoader:
                     pending.append(pool.submit(self.collator, samples))
                     # keep a bounded pipeline
                     while len(pending) > self.num_workers:
-                        yield pending.pop(0).result()
+                        batch = self._result(pending.pop(0))
+                        if batch is not None:
+                            yield batch
                 for fut in pending:
-                    yield fut.result()
+                    batch = self._result(fut)
+                    if batch is not None:
+                        yield batch
                 epoch += 1

@@ -252,6 +252,22 @@ class MultimodalTrainer:
         meter = ThroughputMeter(num_params=n_params)
         last = {}
         t_prev = time.time()
+        try:
+            last = self._train_loop(
+                data_iter, num_steps, logger, checkpointer, meter, profile_on, t_prev
+            )
+        except KeyboardInterrupt:
+            # Crash/interrupt checkpoint (failure-recovery beyond the
+            # reference, which relies on periodic saves only).
+            if checkpointer is not None:
+                print(f"Interrupted at step {self.step}; saving checkpoint")
+                checkpointer.save(self.step, self.params, self.opt_state)
+            raise
+        return last
+
+    def _train_loop(self, data_iter, num_steps, logger, checkpointer, meter,
+                    profile_on, t_prev):
+        last = {}
         for batch in data_iter:
             if self.step >= num_steps:
                 break
