@@ -58,6 +58,29 @@ def length_penalty(solution: str, ground_truth: str = "", max_len: int = 512, **
     return max(0.0, 1.0 - len(solution) / max_len)
 
 
+_SANDBOX = None
+
+
+@register_scorer("python_exec")
+def python_exec(solution: str, ground_truth: str, timeout: int = 5, **kw) -> float:
+    """Execute the generated code in the C++ sandbox and compare stdout to
+    the expected output — the code-RL reward the reference's nsjail wrapper
+    existed for (``tools/__init__.py:10-110``). Reward 1.0 on matching
+    stdout, 0 on mismatch/crash/timeout."""
+    global _SANDBOX
+    if _SANDBOX is None:
+        from multimeditron_tpu.rlhf.sandbox import SandboxExecutor
+
+        _SANDBOX = SandboxExecutor(timeout_sec=timeout, mem_mb=1024)
+    try:
+        result = _SANDBOX.run_code(solution)
+    except Exception:  # noqa: BLE001 — sandbox infra failure = no reward
+        return 0.0
+    if result.returncode != 0 or result.timed_out:
+        return 0.0
+    return float(result.stdout.strip() == str(ground_truth).strip())
+
+
 def compute_score(
     data_source: str,
     solution_str: str,

@@ -49,6 +49,13 @@ def test_compute_score_dispatch():
     assert compute_score("unknown_source", "42", "42") == 1.0  # fallback
 
 
+def test_python_exec_reward():
+    """Code-execution reward through the C++ sandbox."""
+    assert compute_score("python_exec", "print(6 * 7)", "42") == 1.0
+    assert compute_score("python_exec", "print(41)", "42") == 0.0
+    assert compute_score("python_exec", "raise SystemExit(3)", "42") == 0.0
+
+
 # ----------------------------------------------------------------------
 # GRPO end-to-end (tiny): reward teaching the policy to emit a target word
 # ----------------------------------------------------------------------
