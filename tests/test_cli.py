@@ -209,3 +209,21 @@ def test_cli_generate(workdir, tmp_path):
     assert result.exit_code == 0, result.output
     rows = [json.loads(l) for l in open(out)]
     assert len(rows) == 1 and "generated" in rows[0]
+
+
+def test_cli_rlhf_dryrun(workdir, tmp_path):
+    root, cfg_path, config = workdir
+    import yaml
+    from multimeditron_tpu.cli import main_cli
+
+    cfg = dict(config)
+    cfg["training_mode"] = "LM_ONLY"
+    cfg["rlhf"] = {"group_size": 2, "prompts_per_step": 1, "max_new_tokens": 4,
+                   "seq_bucket": 64, "max_slots": 2,
+                   "prompt_dataset": "unused.jsonl"}
+    p = tmp_path / "rl.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    result = CliRunner().invoke(main_cli, ["rlhf", "-c", str(p), "--dryrun"],
+                                catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert "dryrun OK" in result.output
