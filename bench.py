@@ -22,7 +22,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from multimeditron_tpu.models.projector import init_mlp_projector, mlp_projector_forward
+    from multimeditron_tpu.models.projector import (
+        init_mlp_projector,
+        mlp_projector_forward_int8,
+        quantize_mlp_projector,
+    )
     from multimeditron_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
     from multimeditron_tpu.models.vit_quant import quantize_vit_params, vit_forward_int8
     from multimeditron_tpu.ops.image_ops import preprocess_images_device
@@ -62,28 +66,29 @@ def main() -> None:
     from multimeditron_tpu.models.vit_quant import calibrate_act_scales
 
     qparams = quantize_vit_params(params)
+    qproj = quantize_mlp_projector(proj)
     calib_pixels = preprocess_images_device(image_stack[0][:16], cfg.image_size)
     act_scales = jax.jit(calibrate_act_scales, static_argnums=(1,))(
         params, cfg, calib_pixels
     )
 
     @jax.jit
-    def encode_many(qparams, proj, act_scales, stack):
+    def encode_many(qparams, qproj, act_scales, stack):
         def body(acc, images_uint8):
             pixels = preprocess_images_device(images_uint8, cfg.image_size)
             feats = vit_forward_int8(
                 qparams, cfg, pixels, drop_cls=True, act_scales=act_scales
             )
-            out = mlp_projector_forward(proj, feats)
+            out = mlp_projector_forward_int8(qproj, feats)
             return acc + jnp.sum(out.astype(jnp.float32)), None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), stack)
         return acc
 
-    float(encode_many(qparams, proj, act_scales, image_stack))  # warmup
+    float(encode_many(qparams, qproj, act_scales, image_stack))  # warmup
 
     t0 = time.perf_counter()
-    checksum = float(encode_many(qparams, proj, act_scales, image_stack))
+    checksum = float(encode_many(qparams, qproj, act_scales, image_stack))
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from multimeditron_tpu.models.common import layer_norm
 from multimeditron_tpu.ops.attention import attention
+from multimeditron_tpu.ops.encoder_attention import encoder_attention
 
 Params = Dict[str, Any]
 
@@ -190,11 +191,19 @@ def vit_forward(
 
     def layer(x, lp):
         h = layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_eps)
-        q = (h @ lp["q_proj"] + lp["q_bias"]).reshape(B, S, Hn, Dh).transpose(0, 2, 1, 3)
-        k = (h @ lp["k_proj"] + lp["k_bias"]).reshape(B, S, Hn, Dh).transpose(0, 2, 1, 3)
-        v = (h @ lp["v_proj"] + lp["v_bias"]).reshape(B, S, Hn, Dh).transpose(0, 2, 1, 3)
-        o = attention(q, k, v, causal=False, impl=attn_impl)
-        o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
+        q = h @ lp["q_proj"] + lp["q_bias"]
+        k = h @ lp["k_proj"] + lp["k_bias"]
+        v = h @ lp["v_proj"] + lp["v_bias"]
+        if attn_impl is None:
+            # Fused encoder attention in model layout: no head transposes,
+            # (S, S) scores stay in VMEM (ops/encoder_attention.py).
+            o = encoder_attention(q, k, v, Hn)
+        else:
+            qh = q.reshape(B, S, Hn, Dh).transpose(0, 2, 1, 3)
+            kh = k.reshape(B, S, Hn, Dh).transpose(0, 2, 1, 3)
+            vh = v.reshape(B, S, Hn, Dh).transpose(0, 2, 1, 3)
+            o = attention(qh, kh, vh, causal=False, impl=attn_impl)
+            o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
         x = x + (o @ lp["o_proj"] + lp["o_bias"])
 
         h = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)

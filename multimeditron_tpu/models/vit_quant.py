@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from multimeditron_tpu.models.common import layer_norm
 from multimeditron_tpu.models.vit import ViTConfig, _act, patchify
 from multimeditron_tpu.ops.attention import attention
+from multimeditron_tpu.ops.encoder_attention import encoder_attention
 
 Params = Dict[str, Any]
 
@@ -48,19 +49,32 @@ def quantize_vit_params(params: Params) -> Params:
     return out
 
 
-def _qdot(x: jax.Array, wq: jax.Array, ws: jax.Array, xs=None) -> jax.Array:
-    """int8 MXU matmul with dynamic per-row (xs=None) or STATIC calibrated
-    per-tensor activation scales (xs scalar; ~15% faster, skips the
-    per-row max reduce)."""
+def _quantize_act(x: jax.Array, xs=None):
+    """Quantize activations once; reuse the (xq, xs) pair across every
+    matmul that consumes the same tensor (q/k/v share their LN input)."""
     xf = x.astype(jnp.float32)
     if xs is None:
         xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-8)
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def _qdot_pre(xq: jax.Array, xs, wq: jax.Array, ws: jax.Array,
+              out_dtype=jnp.bfloat16) -> jax.Array:
+    """int8 MXU matmul on a pre-quantized activation."""
     acc = jax.lax.dot_general(
         xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return (acc.astype(jnp.float32) * xs * ws).astype(x.dtype)
+    return (acc.astype(jnp.float32) * xs * ws).astype(out_dtype)
+
+
+def _qdot(x: jax.Array, wq: jax.Array, ws: jax.Array, xs=None) -> jax.Array:
+    """int8 MXU matmul with dynamic per-row (xs=None) or STATIC calibrated
+    per-tensor activation scales (xs scalar; ~15% faster, skips the
+    per-row max reduce)."""
+    xq, xs = _quantize_act(x, xs)
+    return _qdot_pre(xq, xs, wq, ws, out_dtype=x.dtype)
 
 
 def vit_forward_int8(
@@ -95,14 +109,14 @@ def vit_forward_int8(
         s2 = sc[2] if sc is not None else None
         s3 = sc[3] if sc is not None else None
         h = layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_eps)
-        q = (_qdot(h, lp["q_proj_q"], lp["q_proj_s"], s0) + lp["q_bias"]) \
-            .reshape(B, S, Hn, Dh).transpose(0, 2, 1, 3)
-        k = (_qdot(h, lp["k_proj_q"], lp["k_proj_s"], s0) + lp["k_bias"]) \
-            .reshape(B, S, Hn, Dh).transpose(0, 2, 1, 3)
-        v = (_qdot(h, lp["v_proj_q"], lp["v_proj_s"], s0) + lp["v_bias"]) \
-            .reshape(B, S, Hn, Dh).transpose(0, 2, 1, 3)
-        o = attention(q, k, v, causal=False, impl=attn_impl)
-        o = o.transpose(0, 2, 1, 3).reshape(B, S, D)
+        # Quantize the shared LN output ONCE for q/k/v (was 3x before).
+        hq, hs = _quantize_act(h, s0)
+        q = _qdot_pre(hq, hs, lp["q_proj_q"], lp["q_proj_s"], x.dtype) + lp["q_bias"]
+        k = _qdot_pre(hq, hs, lp["k_proj_q"], lp["k_proj_s"], x.dtype) + lp["k_bias"]
+        v = _qdot_pre(hq, hs, lp["v_proj_q"], lp["v_proj_s"], x.dtype) + lp["v_bias"]
+        # Fused VMEM-resident encoder attention in model layout (B, S, H*Dh):
+        # no head split/merge transposes, scores never reach HBM.
+        o = encoder_attention(q, k, v, Hn)
         x = x + _qdot(o, lp["o_proj_q"], lp["o_proj_s"], s1) + lp["o_bias"]
         h = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
         h = _act(cfg.hidden_act, _qdot(h, lp["fc1_q"], lp["fc1_s"], s2) + lp["fc1_bias"])

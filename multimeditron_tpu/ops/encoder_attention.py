@@ -1,0 +1,117 @@
+"""Fused non-causal encoder attention (Pallas, TPU).
+
+Purpose-built for the ViT towers (CLIP/SigLIP/BiomedCLIP: S ~= 196..260,
+head_dim 64), where generic attention is badly memory-bound: materializing
+the (B, H, S, S) score tensor in HBM costs ~0.5 GB/layer for the ViT-L/14
+encode batch and dominated 63% of the round-1 encode wall-clock. This
+kernel keeps each head's (S, S) scores entirely in VMEM.
+
+Layout contract — and the second win: q, k, v stay in the *model* layout
+``(B, S, H*Dh)`` exactly as produced by the QKV projections, and the output
+is written back in the same layout. The (B,S,H,D)->(B,H,S,D) transposes
+that XLA attention forces on the towers disappear; per-head views are lane
+slices inside the kernel.
+
+Replaces the flash-attn-2 role for the vision towers only (the reference
+uses plain HF CLIP attention here: ``model/modalities/image_modality.py``);
+the causal LLM path keeps `ops.flash_attention`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, num_heads: int, sm_scale: float):
+    block_b = q_ref.shape[0]
+    dh = q_ref.shape[-1] // num_heads
+    for b in range(block_b):
+        for h in range(num_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            qh = q_ref[b, :, sl]
+            kh = k_ref[b, :, sl]
+            vh = v_ref[b, :, sl]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * sm_scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v_ref.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[b, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+def encoder_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    sm_scale: Optional[float] = None,
+    block_b: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full (non-causal, unmasked) attention over short sequences.
+
+    q, k, v: (B, S, H*Dh) in model layout. Returns (B, S, H*Dh).
+    Every query attends to every key — the ViT contract.
+    """
+    B, S, D = q.shape
+    assert k.shape == (B, S, D) and v.shape == (B, S, D)
+    assert D % num_heads == 0
+    dh = D // num_heads
+    if sm_scale is None:
+        sm_scale = dh ** -0.5
+
+    if jax.default_backend() != "tpu" and not interpret:
+        return _encoder_attention_xla(q, k, v, num_heads, sm_scale)
+
+    while block_b > 1 and B % block_b:
+        block_b //= 2
+
+    kern = functools.partial(_kernel, num_heads=num_heads, sm_scale=sm_scale)
+    spec = pl.BlockSpec((block_b, S, D), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    flops = 2 * 2 * B * num_heads * S * S * dh
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, S, D), q.dtype),
+        grid=(B // block_b,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * B * S * D * q.dtype.itemsize,
+            transcendentals=B * num_heads * S * S,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _encoder_attention_xla(q, k, v, num_heads, sm_scale):
+    """Reference/CPU path: plain XLA attention in the same layout."""
+    B, S, D = q.shape
+    dh = D // num_heads
+
+    def split(x):
+        return x.reshape(B, S, num_heads, dh).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32) * sm_scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), vh,
+                   preferred_element_type=jnp.float32) / l
+    return o.transpose(0, 2, 1, 3).reshape(B, S, D).astype(q.dtype)
