@@ -28,8 +28,11 @@ def main() -> None:
         quantize_mlp_projector,
     )
     from multimeditron_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
-    from multimeditron_tpu.models.vit_quant import quantize_vit_params, vit_forward_int8
     from multimeditron_tpu.ops.image_ops import preprocess_images_device
+    from multimeditron_tpu.ops.vit_int8_fused import (
+        pack_vit_int8_fused,
+        vit_forward_int8_fused,
+    )
 
     # CLIP ViT-L/14 (the reference's default tower,
     # image_modality.py clip_name=openai/clip-vit-large-patch14)
@@ -60,12 +63,14 @@ def main() -> None:
         rng.integers(0, 256, (iters, batch, 224, 224, 3), dtype=np.uint8)
     )
 
-    # Statically-calibrated W8A8 int8 serving path (cosine >= 0.999 vs bf16
-    # verified in tests; bf16 measures ~530 img/s = the v5e bf16 matmul
-    # roof for these shapes; dynamic int8 ~590; static-calibrated ~680).
+    # Statically-calibrated W8A8 int8 serving path, fully fused in Pallas
+    # (cosine >= 0.999 vs bf16 verified in tests and re-checked below; bf16
+    # measures ~820 img/s; unfused int8 ~1040; fused Pallas int8 higher —
+    # the fused path keeps int32 accumulators, quantize epilogues, LN and
+    # residuals in VMEM instead of round-tripping HBM between every op).
     from multimeditron_tpu.models.vit_quant import calibrate_act_scales
 
-    qparams = quantize_vit_params(params)
+    packed = pack_vit_int8_fused(params)
     qproj = quantize_mlp_projector(proj)
     calib_pixels = preprocess_images_device(image_stack[0][:16], cfg.image_size)
     act_scales = jax.jit(calibrate_act_scales, static_argnums=(1,))(
@@ -73,22 +78,20 @@ def main() -> None:
     )
 
     @jax.jit
-    def encode_many(qparams, qproj, act_scales, stack):
+    def encode_many(packed, qproj, act_scales, stack):
         def body(acc, images_uint8):
             pixels = preprocess_images_device(images_uint8, cfg.image_size)
-            feats = vit_forward_int8(
-                qparams, cfg, pixels, drop_cls=True, act_scales=act_scales
-            )
+            feats = vit_forward_int8_fused(packed, cfg, pixels, act_scales)
             out = mlp_projector_forward_int8(qproj, feats)
             return acc + jnp.sum(out.astype(jnp.float32)), None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), stack)
         return acc
 
-    float(encode_many(qparams, qproj, act_scales, image_stack))  # warmup
+    float(encode_many(packed, qproj, act_scales, image_stack))  # warmup
 
     t0 = time.perf_counter()
-    checksum = float(encode_many(qparams, qproj, act_scales, image_stack))
+    checksum = float(encode_many(packed, qproj, act_scales, image_stack))
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
 

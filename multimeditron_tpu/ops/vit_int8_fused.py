@@ -1,0 +1,436 @@
+"""Fully-fused W8A8 ViT encoder layers (Pallas, TPU).
+
+Round-1 profiling showed the statically-calibrated int8 ViT-L/14 encode is
+*not* MXU-bound: XLA materializes every int8 matmul's int32 accumulator to
+HBM and runs the requantize epilogue as a separate pass, capping dependent
+K=1024 matmuls at ~114 TFLOP/s while a Pallas kernel with the epilogue
+fused in VMEM sustains ~370 TFLOP/s on the same shape.  This module
+restructures one encoder layer into five Pallas calls whose intermediates
+(int32 accumulators, LayerNorm statistics, quantize/dequantize steps,
+residual adds) never leave VMEM:
+
+    1. ``ln_quant``        x  -> ln1(x) quantized int8        (layer 0 only)
+    2. ``qkv_int8``        xq -> q, k, v (bf16, model layout)
+    3. ``encoder_attention``  (existing Pallas kernel, bf16)
+    4. ``oproj_ln_quant``  o, x -> x' = x + oW_o; ln2(x') quantized
+    5. ``fc1_gelu_quant``  xq2 -> act(xq2 W_1) quantized int8
+    6. ``fc2_res_ln_quant``hq, x' -> x'' = x' + hq W_2; ln1_next(x'')
+                           quantized for the *next* layer (fusing away
+                           step 1 for layers 1..L-1)
+
+Numerics match :func:`multimeditron_tpu.models.vit_quant.vit_forward_int8`
+(static-calibrated scales path): per-output-channel weight scales,
+per-tensor static activation scales, f32 LayerNorm/activation math, bf16
+residual stream.  Parity is asserted in ``tests/test_vit_int8_fused.py``.
+
+Reference tower being accelerated: CLIP-ViT-L/14 as used by
+``/root/reference/src/multimeditron/model/modalities/image_modality.py:124-133``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multimeditron_tpu.models.vit import ViTConfig, _act, patchify
+from multimeditron_tpu.models.common import layer_norm
+from multimeditron_tpu.ops.encoder_attention import encoder_attention
+
+Params = Dict[str, Any]
+
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _row_block(m: int, target: int = 2056) -> int:
+    """Largest divisor of ``m`` that is <= target (rows per grid step).
+
+    Mosaic requires the sublane dimension of a block to be divisible by 8
+    unless the block spans the whole array, so only 8-multiples qualify;
+    if none exists the whole array becomes a single block."""
+    best = 0
+    i = 1
+    while i * i <= m:
+        if m % i == 0:
+            for d in (i, m // i):
+                if d % 8 == 0 and d <= target and d > best:
+                    best = d
+        i += 1
+    return best if best else m
+
+
+def _use_interpret(interpret: Optional[bool]) -> bool:
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def _ln_f32(x32: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    h = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return h * w + b
+
+
+def _quant_f32(h32: jax.Array, inv_s) -> jax.Array:
+    return jnp.clip(jnp.round(h32 * inv_s), -127, 127).astype(jnp.int8)
+
+
+def _i8dot(xq: jax.Array, wq: jax.Array) -> jax.Array:
+    return jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+def _ln_quant_kernel(x_ref, w_ref, b_ref, inv_s_ref, out_ref, *, eps):
+    h = _ln_f32(x_ref[:].astype(jnp.float32),
+                w_ref[:].astype(jnp.float32), b_ref[:].astype(jnp.float32), eps)
+    out_ref[:] = _quant_f32(h, inv_s_ref[0, 0])
+
+
+def _qkv_kernel(x_ref, w_ref, ws_ref, b_ref, s_ref, q_ref, k_ref, v_ref):
+    # x (bm, K) int8; w (3, K, D) int8; ws/b (3, 1, D) f32.
+    # Three separate outputs so the consumer can view each (M, D) tensor
+    # as (B, S, D) without XLA materializing slice copies.
+    s0 = s_ref[0, 0]
+    for j, out_ref in enumerate((q_ref, k_ref, v_ref)):
+        acc = _i8dot(x_ref[:], w_ref[j])
+        out_ref[:] = (
+            acc.astype(jnp.float32) * (ws_ref[j] * s0) + b_ref[j]
+        ).astype(out_ref.dtype)
+
+
+def _oproj_ln_kernel(o_ref, xres_ref, w_ref, ws_ref, b_ref, lnw_ref, lnb_ref,
+                     s1_ref, inv_s2_ref, xout_ref, xq_ref, *, eps):
+    s1 = s1_ref[0, 0]
+    oq = _quant_f32(o_ref[:].astype(jnp.float32), 1.0 / s1)
+    acc = _i8dot(oq, w_ref[:])
+    x32 = (acc.astype(jnp.float32) * (ws_ref[:] * s1) + b_ref[:]
+           + xres_ref[:].astype(jnp.float32))
+    xout_ref[:] = x32.astype(xout_ref.dtype)
+    h = _ln_f32(x32, lnw_ref[:].astype(jnp.float32),
+                lnb_ref[:].astype(jnp.float32), eps)
+    xq_ref[:] = _quant_f32(h, inv_s2_ref[0, 0])
+
+
+def _fc1_kernel(x_ref, w_ref, ws_ref, b_ref, s2_ref, inv_s3_ref, out_ref, *, act):
+    s2 = s2_ref[0, 0]
+    acc = _i8dot(x_ref[:], w_ref[:])
+    g32 = acc.astype(jnp.float32) * (ws_ref[:] * s2) + b_ref[:]
+    if act == "quick_gelu":
+        g32 = g32 * jax.nn.sigmoid(1.702 * g32)
+    elif act in ("gelu_pytorch_tanh", "gelu_new"):
+        g32 = jax.nn.gelu(g32, approximate=True)
+    elif act == "gelu":
+        g32 = jax.nn.gelu(g32, approximate=False)
+    else:
+        raise ValueError(f"Unknown activation {act!r}")
+    out_ref[:] = _quant_f32(g32, inv_s3_ref[0, 0])
+
+
+def _fc2_ln_kernel(h_ref, xres_ref, w_ref, ws_ref, b_ref, lnw_ref, lnb_ref,
+                   s3_ref, inv_s0n_ref, xout_ref, xq_ref, *, eps):
+    s3 = s3_ref[0, 0]
+    acc = _i8dot(h_ref[:], w_ref[:])
+    x32 = (acc.astype(jnp.float32) * (ws_ref[:] * s3) + b_ref[:]
+           + xres_ref[:].astype(jnp.float32))
+    xout_ref[:] = x32.astype(xout_ref.dtype)
+    h = _ln_f32(x32, lnw_ref[:].astype(jnp.float32),
+                lnb_ref[:].astype(jnp.float32), eps)
+    xq_ref[:] = _quant_f32(h, inv_s0n_ref[0, 0])
+
+
+# ---------------------------------------------------------------------------
+# Wrappers
+# ---------------------------------------------------------------------------
+def _cparams(n_grid: int = 1):
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel",) * n_grid,
+        vmem_limit_bytes=_VMEM_LIMIT,
+    )
+
+
+def _smem_scalar():
+    return pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+
+def _full(shape_len: int):
+    """A BlockSpec for an input replicated across the M grid."""
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _scalar(v) -> jax.Array:
+    return jnp.asarray(v, jnp.float32).reshape(1, 1)
+
+
+def ln_quant(x, ln_w, ln_b, scale, eps, *, block_rows: int = 2056,
+             interpret: Optional[bool] = None):
+    """(M, D) bf16 -> LayerNorm -> quantize by ``scale`` -> (M, D) int8."""
+    M, D = x.shape
+    bm = _row_block(M, block_rows)
+    kern = functools.partial(_ln_quant_kernel, eps=eps)
+    row = pl.BlockSpec((bm, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(M // bm,),
+        in_specs=[row, vec, vec, _smem_scalar()],
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((M, D), jnp.int8),
+        compiler_params=_cparams(),
+        interpret=_use_interpret(interpret),
+    )(x, ln_w.reshape(1, D), ln_b.reshape(1, D), _scalar(1.0) / _scalar(scale))
+
+
+def qkv_int8(xq, wq, ws, bias, s0, *, out_dtype=jnp.bfloat16,
+             block_rows: int = 2056, interpret: Optional[bool] = None):
+    """xq (M, K) int8 @ wq (3, K, D) -> three (M, D) bf16 arrays (q, k, v)."""
+    M, K = xq.shape
+    D = wq.shape[-1]
+    bm = _row_block(M, block_rows)
+    row = pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rowD = pl.BlockSpec((bm, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((M, D), out_dtype)
+    return pl.pallas_call(
+        _qkv_kernel,
+        grid=(M // bm,),
+        in_specs=[
+            row,
+            pl.BlockSpec((3, K, D), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1, D), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1, D), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            _smem_scalar(),
+        ],
+        out_specs=(rowD, rowD, rowD),
+        out_shape=(out, out, out),
+        compiler_params=_cparams(),
+        interpret=_use_interpret(interpret),
+    )(xq, wq, ws, bias, _scalar(s0))
+
+
+def oproj_ln_quant(o, x_res, wq, ws, bias, ln_w, ln_b, s1, s2, eps,
+                   *, block_rows: int = 2056, interpret: Optional[bool] = None):
+    """x' = x_res + dequant(quant(o) @ wq) + b;  also ln2(x') quantized.
+
+    Returns (x' bf16 (M, D), xq2 int8 (M, D))."""
+    M, D = o.shape
+    bm = _row_block(M, block_rows)
+    kern = functools.partial(_oproj_ln_kernel, eps=eps)
+    row = pl.BlockSpec((bm, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(M // bm,),
+        in_specs=[
+            row, row,
+            pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec, vec, vec, vec,
+            _smem_scalar(), _smem_scalar(),
+        ],
+        out_specs=(row, row),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, D), o.dtype),
+            jax.ShapeDtypeStruct((M, D), jnp.int8),
+        ),
+        compiler_params=_cparams(),
+        interpret=_use_interpret(interpret),
+    )(o, x_res, wq, ws.reshape(1, D), bias.reshape(1, D),
+      ln_w.reshape(1, D), ln_b.reshape(1, D),
+      _scalar(s1), _scalar(1.0) / _scalar(s2))
+
+
+def fc1_gelu_quant(xq, wq, ws, bias, s2, s3, act, *, block_rows: int = 2056,
+                   block_cols: int = 2048, interpret: Optional[bool] = None):
+    """hq = quant(act(xq @ wq * ws * s2 + b), s3) -> (M, N) int8.
+
+    N is blocked so the (bm, bn) f32 pre-activation stays small in VMEM —
+    a full (bm, 4096) f32 intermediate measurably slows the kernel."""
+    M, K = xq.shape
+    N = wq.shape[-1]
+    bm = _row_block(M, block_rows)
+    bn = block_cols if N % block_cols == 0 else N
+    kern = functools.partial(_fc1_kernel, act=act)
+    smem2 = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(M // bm, N // bn),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            smem2, smem2,
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=_use_interpret(interpret),
+    )(xq, wq, ws.reshape(1, N), bias.reshape(1, N), _scalar(s2),
+      _scalar(1.0) / _scalar(s3))
+
+
+def fc2_res_ln_quant(hq, x_res, wq, ws, bias, ln_w, ln_b, s3, s0_next, eps,
+                     *, block_rows: int = 1028, interpret: Optional[bool] = None):
+    """x'' = x_res + dequant(hq @ wq) + b; also ln1_next(x'') quantized.
+
+    Returns (x'' bf16 (M, D), xq_next int8 (M, D))."""
+    M, K = hq.shape
+    D = wq.shape[-1]
+    bm = _row_block(M, block_rows)
+    kern = functools.partial(_fc2_ln_kernel, eps=eps)
+    rowD = pl.BlockSpec((bm, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            rowD,
+            pl.BlockSpec((K, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec, vec, vec, vec,
+            _smem_scalar(), _smem_scalar(),
+        ],
+        out_specs=(rowD, rowD),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, D), x_res.dtype),
+            jax.ShapeDtypeStruct((M, D), jnp.int8),
+        ),
+        compiler_params=_cparams(),
+        interpret=_use_interpret(interpret),
+    )(hq, x_res, wq, ws.reshape(1, D), bias.reshape(1, D),
+      ln_w.reshape(1, D), ln_b.reshape(1, D),
+      _scalar(s3), _scalar(1.0) / _scalar(s0_next))
+
+
+# ---------------------------------------------------------------------------
+# Packing + forward
+# ---------------------------------------------------------------------------
+def pack_vit_int8_fused(params: Params) -> Params:
+    """Pack bf16 ViT params into the fused-kernel layout.
+
+    Per-layer stacks (leading axis L):
+      wqkv_q (L,3,D,D) / wqkv_s (L,3,1,D) / qkv_b (L,3,1,D)
+      wo_q (L,D,D) / wo_s (L,1,D) / o_b (L,1,D)
+      w1_q (L,D,N) / w1_s (L,1,N) / b1 (L,1,N)
+      w2_q (L,N,D) / w2_s (L,1,D) / b2 (L,1,D)
+      ln1_w/ln1_b/ln2_w/ln2_b (L,D); ln1n_w/ln1n_b = ln1 rolled by -1.
+    Non-layer params are carried through unchanged.
+    """
+    lp = params["layers"]
+
+    def qstack(key):
+        w = lp[key].astype(jnp.float32)  # (L, K, N)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0,
+                            1e-8)
+        q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    q_q, q_s = qstack("q_proj")
+    k_q, k_s = qstack("k_proj")
+    v_q, v_s = qstack("v_proj")
+    o_q, o_s = qstack("o_proj")
+    f1_q, f1_s = qstack("fc1")
+    f2_q, f2_s = qstack("fc2")
+
+    def b(key):
+        return lp[key].astype(jnp.float32)[:, None, :]  # (L, 1, N)
+
+    packed = {
+        "wqkv_q": jnp.stack([q_q, k_q, v_q], axis=1),
+        "wqkv_s": jnp.stack([q_s, k_s, v_s], axis=1),
+        "qkv_b": jnp.stack([b("q_bias"), b("k_bias"), b("v_bias")], axis=1),
+        "wo_q": o_q, "wo_s": o_s, "o_b": b("o_bias"),
+        "w1_q": f1_q, "w1_s": f1_s, "b1": b("fc1_bias"),
+        "w2_q": f2_q, "w2_s": f2_s, "b2": b("fc2_bias"),
+        "ln1_w": lp["ln1_w"], "ln1_b": lp["ln1_b"],
+        "ln2_w": lp["ln2_w"], "ln2_b": lp["ln2_b"],
+        "ln1n_w": jnp.roll(lp["ln1_w"], -1, axis=0),
+        "ln1n_b": jnp.roll(lp["ln1_b"], -1, axis=0),
+    }
+    for key, val in params.items():
+        if key != "layers":
+            packed[key] = val
+    return packed
+
+
+def vit_forward_int8_fused(
+    packed: Params,
+    cfg: ViTConfig,
+    pixel_values: jax.Array,
+    act_scales: jax.Array,  # (L, 4) static calibrated scales
+    drop_cls: bool = True,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused-Pallas twin of ``vit_forward_int8`` (static-scales path)."""
+    B = pixel_values.shape[0]
+    D = cfg.hidden_size
+    eps = cfg.layer_norm_eps
+
+    x = patchify(pixel_values.astype(cfg.dtype), cfg.patch_size) @ packed["patch_proj"]
+    if cfg.patch_bias:
+        x = x + packed["patch_bias"]
+    if cfg.use_cls_token:
+        cls = jnp.broadcast_to(packed["cls_token"], (B, 1, D)).astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+    x = x + packed["position_embedding"]
+    if cfg.use_pre_layernorm:
+        x = layer_norm(x, packed["pre_ln_w"], packed["pre_ln_b"], eps)
+
+    S = x.shape[1]
+    M = B * S
+    x2d = x.reshape(M, D)
+
+    # s0 of layer 0; rolled so step l carries s0 of layer l+1.
+    s0_next = jnp.roll(act_scales[:, 0], -1)
+    xq0 = ln_quant(x2d, packed["ln1_w"][0], packed["ln1_b"][0],
+                   act_scales[0, 0], eps, interpret=interpret)
+
+    layer_stacks = (
+        packed["wqkv_q"], packed["wqkv_s"], packed["qkv_b"],
+        packed["wo_q"], packed["wo_s"], packed["o_b"],
+        packed["w1_q"], packed["w1_s"], packed["b1"],
+        packed["w2_q"], packed["w2_s"], packed["b2"],
+        packed["ln2_w"], packed["ln2_b"],
+        packed["ln1n_w"], packed["ln1n_b"],
+        act_scales, s0_next,
+    )
+
+    def body(carry, stacks):
+        xc, xqc = carry
+        (wqkv, wqkv_s, qkv_b, wo, wo_s, o_b, w1, w1_s, b1,
+         w2, w2_s, b2, ln2w, ln2b, ln1nw, ln1nb, sc, s0n) = stacks
+        q, k, v = qkv_int8(xqc, wqkv, wqkv_s, qkv_b, sc[0],
+                           out_dtype=xc.dtype, interpret=interpret)
+        q = q.reshape(B, S, D)
+        k = k.reshape(B, S, D)
+        v = v.reshape(B, S, D)
+        o = encoder_attention(q, k, v, cfg.num_heads, interpret=interpret)
+        xp, xq2 = oproj_ln_quant(o.reshape(M, D), xc, wo, wo_s[0], o_b[0],
+                                 ln2w, ln2b, sc[1], sc[2], eps,
+                                 interpret=interpret)
+        hq = fc1_gelu_quant(xq2, w1, w1_s[0], b1[0], sc[2], sc[3],
+                            cfg.hidden_act, interpret=interpret)
+        xn, xqn = fc2_res_ln_quant(hq, xp, w2, w2_s[0], b2[0],
+                                   ln1nw, ln1nb, sc[3], s0n, eps,
+                                   interpret=interpret)
+        return (xn, xqn), None
+
+    (x2d, _), _ = jax.lax.scan(body, (x2d, xq0), layer_stacks)
+
+    x = x2d.reshape(B, S, D)
+    if cfg.post_layernorm_output:
+        x = layer_norm(x, packed["post_ln_w"], packed["post_ln_b"], eps)
+    if cfg.use_cls_token and drop_cls:
+        x = x[:, 1:, :]
+    return x

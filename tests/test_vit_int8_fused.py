@@ -1,0 +1,102 @@
+"""Parity tests for the fused-Pallas W8A8 ViT path.
+
+The fused path must reproduce the static-scales int8 reference
+(``vit_forward_int8``) and stay close to the bf16 tower — the same
+contract the round-1 int8 path was verified against.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimeditron_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+from multimeditron_tpu.models.vit_quant import (
+    calibrate_act_scales,
+    quantize_vit_params,
+    vit_forward_int8,
+)
+from multimeditron_tpu.ops.vit_int8_fused import (
+    pack_vit_int8_fused,
+    vit_forward_int8_fused,
+)
+
+
+def _cosine(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+@pytest.fixture(scope="module")
+def small_tower():
+    cfg = ViTConfig(
+        image_size=28,
+        patch_size=14,
+        hidden_size=128,
+        num_layers=3,
+        num_heads=4,
+        intermediate_size=256,
+        dtype=jnp.bfloat16,
+    )
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    pixels = jax.random.uniform(jax.random.PRNGKey(1), (4, 28, 28, 3),
+                                jnp.float32, -1.5, 1.5)
+    scales = calibrate_act_scales(params, cfg, pixels)
+    return cfg, params, pixels, scales
+
+
+def test_fused_matches_unfused_int8(small_tower):
+    cfg, params, pixels, scales = small_tower
+    ref = vit_forward_int8(quantize_vit_params(params), cfg, pixels,
+                           act_scales=scales)
+    packed = pack_vit_int8_fused(params)
+    out = vit_forward_int8_fused(packed, cfg, pixels, scales)
+    assert out.shape == ref.shape
+    # Same quantized math modulo f32-vs-bf16 rounding points.
+    assert _cosine(out, ref) > 0.9995
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        atol=0.15, rtol=0.1,
+    )
+
+
+def test_fused_close_to_bf16(small_tower):
+    cfg, params, pixels, scales = small_tower
+    ref = vit_forward(params, cfg, pixels)
+    packed = pack_vit_int8_fused(params)
+    out = vit_forward_int8_fused(packed, cfg, pixels, scales)
+    assert _cosine(out, ref) > 0.999
+
+
+def test_fused_jits_and_scans(small_tower):
+    cfg, params, pixels, scales = small_tower
+    packed = pack_vit_int8_fused(params)
+    f = jax.jit(lambda p, s, px: vit_forward_int8_fused(p, cfg, px, s))
+    out = f(packed, scales, pixels)
+    eager = vit_forward_int8_fused(packed, cfg, pixels, scales)
+    # jit reassociates f32 math, which can flip individual int8 rounding
+    # boundaries — demand near-identity, not bit-equality.
+    assert _cosine(out, eager) > 0.999
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(eager, np.float32), atol=0.3)
+
+
+def test_fused_no_cls_variant():
+    cfg = ViTConfig(
+        image_size=28, patch_size=14, hidden_size=128, num_layers=2,
+        num_heads=4, intermediate_size=256, dtype=jnp.bfloat16,
+        use_cls_token=False, use_pre_layernorm=False,
+        post_layernorm_output=True, patch_bias=True,
+        hidden_act="gelu_pytorch_tanh",
+    )
+    params = init_vit_params(jax.random.PRNGKey(2), cfg)
+    pixels = jax.random.uniform(jax.random.PRNGKey(3), (2, 28, 28, 3),
+                                jnp.float32, -1.5, 1.5)
+    scales = calibrate_act_scales(params, cfg, pixels)
+    ref = vit_forward_int8(quantize_vit_params(params), cfg, pixels,
+                           act_scales=scales)
+    out = vit_forward_int8_fused(pack_vit_int8_fused(params), cfg, pixels,
+                                 scales)
+    assert out.shape == ref.shape
+    assert _cosine(out, ref) > 0.9995
