@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, num_heads: int,
-            sm_scale: float, sp: int):
+            sm_scale: float, sp: int, kv_len: int):
     """Grouped-phase attention for one image block.
 
     All heads' QK^T dots land in one (H*sp, S) f32 scratch (per-head row
@@ -49,6 +49,11 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, num_heads: int,
                 preferred_element_type=jnp.float32,
             )
         sc = s_ref[:] * sm_scale
+        if kv_len < S:
+            # Padded key rows (sequence padded up to a sublane multiple for
+            # free (B,S,D)<->(B*S,D) reshapes) must not receive weight.
+            lane = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+            sc = jnp.where(lane < kv_len, sc, -1e30)
         m = jnp.max(sc, axis=-1, keepdims=True)
         p = jnp.exp(sc - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -70,12 +75,16 @@ def encoder_attention(
     num_heads: int,
     sm_scale: Optional[float] = None,
     block_b: int = 1,
+    kv_len: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Full (non-causal, unmasked) attention over short sequences.
+    """Full (non-causal) attention over short sequences.
 
     q, k, v: (B, S, H*Dh) in model layout. Returns (B, S, H*Dh).
-    Every query attends to every key — the ViT contract.
+    Every query attends to every key — the ViT contract. If ``kv_len``
+    is given, keys/values beyond it are masked out (used when S carries
+    sublane padding); query rows beyond kv_len produce garbage outputs
+    the caller is expected to drop.
     """
     B, S, D = q.shape
     assert k.shape == (B, S, D) and v.shape == (B, S, D)
@@ -83,16 +92,18 @@ def encoder_attention(
     dh = D // num_heads
     if sm_scale is None:
         sm_scale = dh ** -0.5
+    if kv_len is None:
+        kv_len = S
 
     if jax.default_backend() != "tpu" and not interpret:
-        return _encoder_attention_xla(q, k, v, num_heads, sm_scale)
+        return _encoder_attention_xla(q, k, v, num_heads, sm_scale, kv_len)
 
     while block_b > 1 and B % block_b:
         block_b //= 2
 
     sp = (S + 7) // 8 * 8  # 8-aligned per-head row stride in the scratch
     kern = functools.partial(_kernel, num_heads=num_heads, sm_scale=sm_scale,
-                             sp=sp)
+                             sp=sp, kv_len=kv_len)
     spec = pl.BlockSpec((block_b, S, D), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     flops = 2 * 2 * B * num_heads * S * S * dh
@@ -116,7 +127,7 @@ def encoder_attention(
     )(q, k, v)
 
 
-def _encoder_attention_xla(q, k, v, num_heads, sm_scale):
+def _encoder_attention_xla(q, k, v, num_heads, sm_scale, kv_len=None):
     """Reference/CPU path: plain XLA attention in the same layout."""
     B, S, D = q.shape
     dh = D // num_heads
@@ -127,6 +138,8 @@ def _encoder_attention_xla(q, k, v, num_heads, sm_scale):
     qh, kh, vh = split(q), split(k), split(v)
     s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
                    preferred_element_type=jnp.float32) * sm_scale
+    if kv_len is not None and kv_len < S:
+        s = jnp.where(jnp.arange(S) < kv_len, s, -1e30)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)

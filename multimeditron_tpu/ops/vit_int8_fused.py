@@ -46,7 +46,7 @@ Params = Dict[str, Any]
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _row_block(m: int, target: int = 2056) -> int:
+def _row_block(m: int, target: int = 2112) -> int:
     """Largest divisor of ``m`` that is <= target (rows per grid step).
 
     Mosaic requires the sublane dimension of a block to be divisible by 8
@@ -170,7 +170,7 @@ def _scalar(v) -> jax.Array:
     return jnp.asarray(v, jnp.float32).reshape(1, 1)
 
 
-def ln_quant(x, ln_w, ln_b, scale, eps, *, block_rows: int = 2056,
+def ln_quant(x, ln_w, ln_b, scale, eps, *, block_rows: int = 2112,
              interpret: Optional[bool] = None):
     """(M, D) bf16 -> LayerNorm -> quantize by ``scale`` -> (M, D) int8."""
     M, D = x.shape
@@ -190,7 +190,7 @@ def ln_quant(x, ln_w, ln_b, scale, eps, *, block_rows: int = 2056,
 
 
 def qkv_int8(xq, wq, ws, bias, s0, *, out_dtype=jnp.bfloat16,
-             block_rows: int = 2056, interpret: Optional[bool] = None):
+             block_rows: int = 2112, interpret: Optional[bool] = None):
     """xq (M, K) int8 @ wq (3, K, D) -> three (M, D) bf16 arrays (q, k, v)."""
     M, K = xq.shape
     D = wq.shape[-1]
@@ -216,7 +216,7 @@ def qkv_int8(xq, wq, ws, bias, s0, *, out_dtype=jnp.bfloat16,
 
 
 def oproj_ln_quant(o, x_res, wq, ws, bias, ln_w, ln_b, s1, s2, eps,
-                   *, block_rows: int = 2056, interpret: Optional[bool] = None):
+                   *, block_rows: int = 2112, interpret: Optional[bool] = None):
     """x' = x_res + dequant(quant(o) @ wq) + b;  also ln2(x') quantized.
 
     Returns (x' bf16 (M, D), xq2 int8 (M, D))."""
@@ -246,7 +246,7 @@ def oproj_ln_quant(o, x_res, wq, ws, bias, ln_w, ln_b, s1, s2, eps,
       _scalar(s1), _scalar(1.0) / _scalar(s2))
 
 
-def fc1_gelu_quant(xq, wq, ws, bias, s2, s3, act, *, block_rows: int = 2056,
+def fc1_gelu_quant(xq, wq, ws, bias, s2, s3, act, *, block_rows: int = 2112,
                    block_cols: int = 2048, interpret: Optional[bool] = None):
     """hq = quant(act(xq @ wq * ws * s2 + b), s3) -> (M, N) int8.
 
@@ -281,7 +281,7 @@ def fc1_gelu_quant(xq, wq, ws, bias, s2, s3, act, *, block_rows: int = 2056,
 
 
 def fc2_res_ln_quant(hq, x_res, wq, ws, bias, ln_w, ln_b, s3, s0_next, eps,
-                     *, block_rows: int = 1028, interpret: Optional[bool] = None):
+                     *, block_rows: int = 2112, interpret: Optional[bool] = None):
     """x'' = x_res + dequant(hq @ wq) + b; also ln1_next(x'') quantized.
 
     Returns (x'' bf16 (M, D), xq_next int8 (M, D))."""
@@ -387,8 +387,16 @@ def vit_forward_int8_fused(
     if cfg.use_pre_layernorm:
         x = layer_norm(x, packed["pre_ln_w"], packed["pre_ln_b"], eps)
 
+    # Pad the token axis to a sublane multiple: (B, Sp, D) and (B*Sp, D)
+    # then share one physical layout, so the reshapes between the row-wise
+    # kernels and the per-image attention kernel are free. With S=257 the
+    # un-padded reshape is a real relayout (257 rows pad to 264 sublanes
+    # per image) that cost ~0.7 ms per 128-image batch PER TENSOR.
     S = x.shape[1]
-    M = B * S
+    Sp = (S + 7) // 8 * 8
+    if Sp != S:
+        x = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
+    M = B * Sp
     x2d = x.reshape(M, D)
 
     # s0 of layer 0; rolled so step l carries s0 of layer l+1.
@@ -412,10 +420,11 @@ def vit_forward_int8_fused(
          w2, w2_s, b2, ln2w, ln2b, ln1nw, ln1nb, sc, s0n) = stacks
         q, k, v = qkv_int8(xqc, wqkv, wqkv_s, qkv_b, sc[0],
                            out_dtype=xc.dtype, interpret=interpret)
-        q = q.reshape(B, S, D)
-        k = k.reshape(B, S, D)
-        v = v.reshape(B, S, D)
-        o = encoder_attention(q, k, v, cfg.num_heads, interpret=interpret)
+        q = q.reshape(B, Sp, D)
+        k = k.reshape(B, Sp, D)
+        v = v.reshape(B, Sp, D)
+        o = encoder_attention(q, k, v, cfg.num_heads, kv_len=S,
+                              interpret=interpret)
         xp, xq2 = oproj_ln_quant(o.reshape(M, D), xc, wo, wo_s[0], o_b[0],
                                  ln2w, ln2b, sc[1], sc[2], eps,
                                  interpret=interpret)
@@ -428,7 +437,7 @@ def vit_forward_int8_fused(
 
     (x2d, _), _ = jax.lax.scan(body, (x2d, xq0), layer_stacks)
 
-    x = x2d.reshape(B, S, D)
+    x = x2d.reshape(B, Sp, D)[:, :S]
     if cfg.post_layernorm_output:
         x = layer_norm(x, packed["post_ln_w"], packed["post_ln_b"], eps)
     if cfg.use_cls_token and drop_cls:
