@@ -30,6 +30,7 @@ def main() -> None:
     from multimeditron_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
     from multimeditron_tpu.ops.image_ops import preprocess_images_device
     from multimeditron_tpu.ops.vit_int8_fused import (
+        calibrate_vit_int8_fused,
         pack_vit_int8_fused,
         vit_forward_int8_fused,
     )
@@ -68,12 +69,12 @@ def main() -> None:
     # measures ~820 img/s; unfused int8 ~1040; fused Pallas int8 higher —
     # the fused path keeps int32 accumulators, quantize epilogues, LN and
     # residuals in VMEM instead of round-tripping HBM between every op).
-    from multimeditron_tpu.models.vit_quant import calibrate_act_scales
-
     packed = pack_vit_int8_fused(params)
     qproj = quantize_mlp_projector(proj)
     calib_pixels = preprocess_images_device(image_stack[0][:16], cfg.image_size)
-    act_scales = jax.jit(calibrate_act_scales, static_argnums=(1,))(
+    # (L, 7) static scales: the extra q/k/v columns enable the merged
+    # [QKV + int8 attention] kernel.
+    act_scales = jax.jit(calibrate_vit_int8_fused, static_argnums=(1,))(
         params, cfg, calib_pixels
     )
 

@@ -127,6 +127,94 @@ def encoder_attention(
     )(q, k, v)
 
 
+def _kernel_i8(q_ref, k_ref, v_ref, sc_ref, o_ref, s_ref, *, num_heads: int,
+               sp: int, kv_len: int):
+    """int8 twin of :func:`_kernel`: QK^T and PV run on the int8 MXU.
+
+    q/k/v are statically re-quantized int8 (scales folded into
+    ``sc_ref`` = [qk_scale, pv_scale] where qk_scale = s_q*s_k*sm_scale and
+    pv_scale = s_v/127); softmax stays f32, probabilities are quantized to
+    int8 at the exact static scale 1/127 (p in [0, 1])."""
+    S = q_ref.shape[1]
+    dh = q_ref.shape[-1] // num_heads
+    qk_scale = sc_ref[0, 0]
+    pv_scale = sc_ref[1, 0]
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s_ref[pl.ds(h * sp, S), :] = jax.lax.dot_general(
+            q_ref[0, :, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    sc = s_ref[:] * qk_scale
+    if kv_len < S:
+        lane = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+        sc = jnp.where(lane < kv_len, sc, -1e30)
+    m = jnp.max(sc, axis=-1, keepdims=True)
+    p = jnp.exp(sc - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pq = jnp.round(p * 127.0).astype(jnp.int8)
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        acc = jax.lax.dot_general(
+            pq[h * sp:h * sp + S, :], v_ref[0, :, sl],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        o_ref[0, :, sl] = (acc.astype(jnp.float32) * pv_scale
+                           / l[h * sp:h * sp + S]).astype(o_ref.dtype)
+
+
+def encoder_attention_int8(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    qk_scale: jax.Array,
+    pv_scale: jax.Array,
+    kv_len: Optional[int] = None,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Encoder attention over statically-quantized int8 q/k/v.
+
+    qk_scale = s_q * s_k * head_dim**-0.5; pv_scale = s_v / 127.
+    """
+    B, S, D = q.shape
+    dh = D // num_heads
+    if kv_len is None:
+        kv_len = S
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    scales = jnp.stack([jnp.asarray(qk_scale, jnp.float32),
+                        jnp.asarray(pv_scale, jnp.float32)]).reshape(2, 1)
+    sp = (S + 7) // 8 * 8
+    kern = functools.partial(_kernel_i8, num_heads=num_heads, sp=sp,
+                             kv_len=kv_len)
+    spec = pl.BlockSpec((1, S, D), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, S, D), out_dtype),
+        grid=(B,),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((2, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=spec,
+        scratch_shapes=[pltpu.VMEM((num_heads * sp, S), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * S * S * dh,
+            bytes_accessed=3 * B * S * D + 2 * B * S * D,
+            transcendentals=B * num_heads * S * S,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, k, v, scales)
+
+
 def _encoder_attention_xla(q, k, v, num_heads, sm_scale, kv_len=None):
     """Reference/CPU path: plain XLA attention in the same layout."""
     B, S, D = q.shape

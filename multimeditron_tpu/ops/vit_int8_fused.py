@@ -39,7 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multimeditron_tpu.models.vit import ViTConfig, _act, patchify
 from multimeditron_tpu.models.common import layer_norm
-from multimeditron_tpu.ops.encoder_attention import encoder_attention
+from multimeditron_tpu.ops.encoder_attention import (
+    encoder_attention,
+    encoder_attention_int8,
+)
 
 Params = Dict[str, Any]
 
@@ -95,16 +98,21 @@ def _ln_quant_kernel(x_ref, w_ref, b_ref, inv_s_ref, out_ref, *, eps):
     out_ref[:] = _quant_f32(h, inv_s_ref[0, 0])
 
 
-def _qkv_kernel(x_ref, w_ref, ws_ref, b_ref, s_ref, q_ref, k_ref, v_ref):
-    # x (bm, K) int8; w (3, K, D) int8; ws/b (3, 1, D) f32.
+def _qkv_kernel(x_ref, w_ref, ws_ref, b_ref, s_ref, inv_ref, q_ref, k_ref,
+                v_ref):
+    # x (bm, K) int8; w (3, K, D) int8; ws/b (3, 1, D) f32; inv (3, 1) f32.
     # Three separate outputs so the consumer can view each (M, D) tensor
-    # as (B, S, D) without XLA materializing slice copies.
+    # as (B, S, D) without XLA materializing slice copies. When the output
+    # refs are int8, q/k/v are re-quantized with the static scales in
+    # ``inv`` for the int8 attention kernel.
     s0 = s_ref[0, 0]
     for j, out_ref in enumerate((q_ref, k_ref, v_ref)):
         acc = _i8dot(x_ref[:], w_ref[j])
-        out_ref[:] = (
-            acc.astype(jnp.float32) * (ws_ref[j] * s0) + b_ref[j]
-        ).astype(out_ref.dtype)
+        val = acc.astype(jnp.float32) * (ws_ref[j] * s0) + b_ref[j]
+        if out_ref.dtype == jnp.int8:
+            out_ref[:] = _quant_f32(val, inv_ref[j, 0])
+        else:
+            out_ref[:] = val.astype(out_ref.dtype)
 
 
 def _oproj_ln_kernel(o_ref, xres_ref, w_ref, ws_ref, b_ref, lnw_ref, lnb_ref,
@@ -145,6 +153,54 @@ def _fc2_ln_kernel(h_ref, xres_ref, w_ref, ws_ref, b_ref, lnw_ref, lnb_ref,
     h = _ln_f32(x32, lnw_ref[:].astype(jnp.float32),
                 lnb_ref[:].astype(jnp.float32), eps)
     xq_ref[:] = _quant_f32(h, inv_s0n_ref[0, 0])
+
+
+def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
+                     num_heads: int, kv_len: int):
+    """Merged QKV projection + int8 encoder attention for G images.
+
+    One kernel per layer-half keeps q/k/v entirely in VMEM (never written
+    to HBM) and lets Mosaic overlap one image's VPU softmax with the next
+    image's MXU score dots. sc_ref rows: [s0, 1/sq, 1/sk, 1/sv,
+    sq*sk*sm_scale, sv/127]."""
+    G, Sp, D = xq_ref.shape
+    dh = D // num_heads
+    x2 = xq_ref[:].reshape(G * Sp, D)
+    s0 = sc_ref[0, 0]
+    qkv = []
+    for j in range(3):
+        acc = _i8dot(x2, w_ref[j])
+        val = acc.astype(jnp.float32) * (ws_ref[j] * s0) + b_ref[j]
+        qkv.append(_quant_f32(val, sc_ref[1 + j, 0]))
+    q8, k8, v8 = qkv
+    qk_scale = sc_ref[4, 0]
+    pv_scale = sc_ref[5, 0]
+    for g in range(G):
+        rows = slice(g * Sp, (g + 1) * Sp)
+        qg, kg, vg = q8[rows], k8[rows], v8[rows]
+        for h in range(num_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            s_scr[pl.ds(h * Sp, Sp), :] = jax.lax.dot_general(
+                qg[:, sl], kg[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        sc = s_scr[:] * qk_scale
+        if kv_len < Sp:
+            lane = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+            sc = jnp.where(lane < kv_len, sc, -1e30)
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p = jnp.exp(sc - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pq = jnp.round(p * 127.0).astype(jnp.int8)
+        for h in range(num_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            acc = jax.lax.dot_general(
+                pq[h * Sp:(h + 1) * Sp, :], vg[:, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            o_ref[g, :, sl] = (acc.astype(jnp.float32) * pv_scale
+                               / l[h * Sp:(h + 1) * Sp]).astype(o_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -190,11 +246,20 @@ def ln_quant(x, ln_w, ln_b, scale, eps, *, block_rows: int = 2112,
 
 
 def qkv_int8(xq, wq, ws, bias, s0, *, out_dtype=jnp.bfloat16,
-             block_rows: int = 2112, interpret: Optional[bool] = None):
-    """xq (M, K) int8 @ wq (3, K, D) -> three (M, D) bf16 arrays (q, k, v)."""
+             qkv_scales=None, block_rows: int = 2112,
+             interpret: Optional[bool] = None):
+    """xq (M, K) int8 @ wq (3, K, D) -> three (M, D) arrays (q, k, v).
+
+    With ``qkv_scales`` (a (3,) array of static q/k/v activation scales)
+    the outputs are re-quantized int8 for the int8 attention kernel."""
     M, K = xq.shape
     D = wq.shape[-1]
     bm = _row_block(M, block_rows)
+    if qkv_scales is not None:
+        out_dtype = jnp.int8
+        inv = (1.0 / jnp.asarray(qkv_scales, jnp.float32)).reshape(3, 1)
+    else:
+        inv = jnp.ones((3, 1), jnp.float32)
     row = pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rowD = pl.BlockSpec((bm, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((M, D), out_dtype)
@@ -207,12 +272,13 @@ def qkv_int8(xq, wq, ws, bias, s0, *, out_dtype=jnp.bfloat16,
             pl.BlockSpec((3, 1, D), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 1, D), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             _smem_scalar(),
+            pl.BlockSpec((3, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(rowD, rowD, rowD),
         out_shape=(out, out, out),
         compiler_params=_cparams(),
         interpret=_use_interpret(interpret),
-    )(xq, wq, ws, bias, _scalar(s0))
+    )(xq, wq, ws, bias, _scalar(s0), inv)
 
 
 def oproj_ln_quant(o, x_res, wq, ws, bias, ln_w, ln_b, s1, s2, eps,
@@ -364,11 +430,89 @@ def pack_vit_int8_fused(params: Params) -> Params:
     return packed
 
 
+def qkv_attn_int8(xq3, wq, ws, bias, scales6, num_heads, kv_len,
+                  *, out_dtype=jnp.bfloat16, block_imgs: int = 8,
+                  interpret: Optional[bool] = None):
+    """xq3 (B, Sp, D) int8 -> attention output (B, Sp, D) bf16, with the
+    QKV projection and int8 attention fused into one kernel."""
+    B, Sp, D = xq3.shape
+    G = block_imgs
+    while G > 1 and B % G:
+        G //= 2
+    kern = functools.partial(_qkv_attn_kernel, num_heads=num_heads,
+                             kv_len=kv_len)
+    spec = pl.BlockSpec((G, Sp, D), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B // G,),
+        in_specs=[
+            spec,
+            pl.BlockSpec((3, D, D), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1, D), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1, D), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, Sp, D), out_dtype),
+        scratch_shapes=[pltpu.VMEM((num_heads * Sp, Sp), jnp.float32)],
+        compiler_params=_cparams(),
+        interpret=_use_interpret(interpret),
+    )(xq3, wq, ws, bias, scales6)
+
+
+def calibrate_vit_int8_fused(
+    params: Params,
+    cfg: ViTConfig,
+    pixel_values: jax.Array,
+    margin: float = 1.1,
+) -> jax.Array:
+    """bf16 calibration forward recording per-layer static activation
+    scales at SEVEN quantized points: [ln1 out, attn out, ln2 out, act out,
+    q, k, v]. Superset of ``vit_quant.calibrate_act_scales`` (first four
+    columns identical semantics); the extra q/k/v columns feed the int8
+    attention kernel. Returns (L, 7)."""
+    B = pixel_values.shape[0]
+    D, Hn = cfg.hidden_size, cfg.num_heads
+    Dh = D // Hn
+
+    x = patchify(pixel_values.astype(cfg.dtype), cfg.patch_size) @ params["patch_proj"]
+    if cfg.patch_bias:
+        x = x + params["patch_bias"]
+    if cfg.use_cls_token:
+        cls = jnp.broadcast_to(params["cls_token"], (B, 1, D)).astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["position_embedding"]
+    if cfg.use_pre_layernorm:
+        x = layer_norm(x, params["pre_ln_w"], params["pre_ln_b"], cfg.layer_norm_eps)
+    S = x.shape[1]
+
+    def amax(h):
+        return jnp.max(jnp.abs(h.astype(jnp.float32)))
+
+    def layer(x, lp):
+        h1 = layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_eps)
+        q = h1 @ lp["q_proj"] + lp["q_bias"]
+        k = h1 @ lp["k_proj"] + lp["k_bias"]
+        v = h1 @ lp["v_proj"] + lp["v_bias"]
+        o = encoder_attention(q, k, v, Hn)
+        x = x + (o @ lp["o_proj"] + lp["o_bias"])
+        h2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
+        g = _act(cfg.hidden_act, h2 @ lp["fc1"] + lp["fc1_bias"])
+        x = x + (g @ lp["fc2"] + lp["fc2_bias"])
+        stats = jnp.stack([amax(h1), amax(o), amax(h2), amax(g),
+                           amax(q), amax(k), amax(v)])
+        return x, stats
+
+    _, stats = jax.lax.scan(layer, x, params["layers"])
+    return jnp.maximum(stats * margin / 127.0, 1e-8)  # (L, 7)
+
+
 def vit_forward_int8_fused(
     packed: Params,
     cfg: ViTConfig,
     pixel_values: jax.Array,
-    act_scales: jax.Array,  # (L, 4) static calibrated scales
+    act_scales: jax.Array,  # (L, 4) static scales; (L, 7) adds int8 attn
     drop_cls: bool = True,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -414,10 +558,35 @@ def vit_forward_int8_fused(
         act_scales, s0_next,
     )
 
+    sm_scale = (D // cfg.num_heads) ** -0.5
+    merged = act_scales.shape[-1] >= 7
+
     def body(carry, stacks):
         xc, xqc = carry
         (wqkv, wqkv_s, qkv_b, wo, wo_s, o_b, w1, w1_s, b1,
          w2, w2_s, b2, ln2w, ln2b, ln1nw, ln1nb, sc, s0n) = stacks
+        if merged:
+            # Best-measured decomposition: one merged [QKV + int8
+            # attention] kernel (q/k/v never reach HBM), then the o-proj /
+            # fc1 / fc2 halves as medium kernels — mega-kernels that also
+            # swallow the o-proj or the whole MLP measure SLOWER (Mosaic
+            # pipelines medium kernels better than one long body).
+            scales6 = jnp.stack([
+                sc[0], 1.0 / sc[4], 1.0 / sc[5], 1.0 / sc[6],
+                sc[4] * sc[5] * sm_scale, sc[6] / 127.0,
+            ]).reshape(6, 1)
+            o = qkv_attn_int8(xqc.reshape(B, Sp, D), wqkv, wqkv_s, qkv_b,
+                              scales6, cfg.num_heads, S, block_imgs=4,
+                              out_dtype=xc.dtype, interpret=interpret)
+            xp, xq2 = oproj_ln_quant(o.reshape(M, D), xc, wo, wo_s[0],
+                                     o_b[0], ln2w, ln2b, sc[1], sc[2], eps,
+                                     interpret=interpret)
+            hq = fc1_gelu_quant(xq2, w1, w1_s[0], b1[0], sc[2], sc[3],
+                                cfg.hidden_act, interpret=interpret)
+            xn, xqn = fc2_res_ln_quant(hq, xp, w2, w2_s[0], b2[0],
+                                       ln1nw, ln1nb, sc[3], s0n, eps,
+                                       interpret=interpret)
+            return (xn, xqn), None
         q, k, v = qkv_int8(xqc, wqkv, wqkv_s, qkv_b, sc[0],
                            out_dtype=xc.dtype, interpret=interpret)
         q = q.reshape(B, Sp, D)

@@ -17,6 +17,7 @@ from multimeditron_tpu.models.vit_quant import (
     vit_forward_int8,
 )
 from multimeditron_tpu.ops.vit_int8_fused import (
+    calibrate_vit_int8_fused,
     pack_vit_int8_fused,
     vit_forward_int8_fused,
 )
@@ -80,6 +81,43 @@ def test_fused_jits_and_scans(small_tower):
     assert _cosine(out, eager) > 0.999
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(eager, np.float32), atol=0.3)
+
+
+def test_fused_int8_attention(small_tower):
+    cfg, params, pixels, _ = small_tower
+    scales7 = calibrate_vit_int8_fused(params, cfg, pixels)
+    assert scales7.shape == (cfg.num_layers, 7)
+    ref = vit_forward(params, cfg, pixels)
+    out = vit_forward_int8_fused(pack_vit_int8_fused(params), cfg, pixels,
+                                 scales7)
+    # int8 QK^T/PV adds three more quantization points; the fidelity
+    # contract for the serving path stays cosine >= 0.999 vs bf16.
+    assert _cosine(out, ref) > 0.999
+
+
+def test_encoder_attention_int8_parity():
+    from multimeditron_tpu.ops.encoder_attention import (
+        encoder_attention,
+        encoder_attention_int8,
+    )
+    rng = np.random.default_rng(0)
+    B, S, D, H = 2, 24, 64, 4
+    qf = rng.normal(size=(B, S, D)) * 0.4
+    kf = rng.normal(size=(B, S, D)) * 0.4
+    vf = rng.normal(size=(B, S, D)) * 0.4
+    sq, sk, sv = (np.abs(a).max() / 127.0 for a in (qf, kf, vf))
+    q8 = jnp.asarray(np.round(qf / sq), jnp.int8)
+    k8 = jnp.asarray(np.round(kf / sk), jnp.int8)
+    v8 = jnp.asarray(np.round(vf / sv), jnp.int8)
+    out = encoder_attention_int8(
+        q8, k8, v8, H,
+        qk_scale=sq * sk * (D // H) ** -0.5, pv_scale=sv / 127.0,
+        kv_len=20)
+    ref = encoder_attention(
+        jnp.asarray(qf, jnp.float32), jnp.asarray(kf, jnp.float32),
+        jnp.asarray(vf, jnp.float32), H, kv_len=20)
+    assert _cosine(np.asarray(out, np.float32)[:, :20],
+                   np.asarray(ref, np.float32)[:, :20]) > 0.999
 
 
 def test_fused_no_cls_variant():
