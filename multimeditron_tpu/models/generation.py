@@ -82,13 +82,16 @@ def generate(
     lengths = attention_mask.sum(axis=-1).astype(jnp.int32)
     # Generation requires RIGHT padding (tokens at [0, len)); a left-padded
     # batch (reference inference default) must be re-collated with
-    # padding_side="right".
-    first_valid = jnp.argmax(attention_mask, axis=-1)
-    if bool((first_valid != 0).any()) and bool((lengths > 0).all()):
-        raise ValueError(
-            "generate() expects right-padded batches; re-collate with "
-            "padding_side='right' (see module docstring)"
-        )
+    # padding_side="right". The check needs concrete values, so it only
+    # runs outside jit (under jit the guard is the caller's contract —
+    # wrapping it in `bool()` on tracers was the round-1 jit crash).
+    if not isinstance(attention_mask, jax.core.Tracer):
+        first_valid = jnp.argmax(attention_mask, axis=-1)
+        if bool((first_valid != 0).any()) and bool((lengths > 0).all()):
+            raise ValueError(
+                "generate() expects right-padded batches; re-collate with "
+                "padding_side='right' (see module docstring)"
+            )
 
     mm_inputs = batch.get("mm_inputs")
     if mm_inputs is not None:

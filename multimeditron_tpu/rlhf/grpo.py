@@ -202,6 +202,43 @@ class GRPOTrainer:
             "response_mask": jnp.asarray(response_mask),
             "advantages": jnp.asarray(adv.reshape(-1), jnp.float32),
             "rewards": rewards,
+            "mm_inputs": self._merge_mm_inputs(batches, n),
+        }
+
+    @staticmethod
+    def _merge_mm_inputs(batches, n: int):
+        """Merge the per-rollout single-sample ``mm_inputs`` packs into one
+        n-row pack so the policy-update forwards see the SAME spliced image
+        embeddings the rollout saw (round-1 computed old/new logprobs on
+        raw attachment-token embeddings — the PPO ratio was taken against
+        the wrong old-policy distribution for image prompts).
+
+        Row remap: each collated batch has one sample (row 0 -> rollout
+        row i); padded scatter slots (batch_idx >= 1) are remapped to n so
+        the scatter's drop mode keeps ignoring them."""
+        merged: Dict[str, Dict[str, list]] = {}
+        for i, collated in enumerate(batches):
+            mm = collated.get("mm_inputs") or {}
+            b_orig = np.asarray(collated["input_ids"]).shape[0]
+            for mtype, pack in mm.items():
+                dst = merged.setdefault(
+                    mtype, {"values": [], "batch_idx": [], "token_pos": []}
+                )
+                bi = np.asarray(pack["batch_idx"])
+                dst["values"].append(np.asarray(pack["values"]))
+                dst["batch_idx"].append(
+                    np.where(bi < b_orig, i, n).astype(np.int32)
+                )
+                dst["token_pos"].append(np.asarray(pack["token_pos"], np.int32))
+        if not merged:
+            return None
+        return {
+            mtype: {
+                "values": jnp.asarray(np.concatenate(d["values"], axis=0)),
+                "batch_idx": jnp.asarray(np.concatenate(d["batch_idx"])),
+                "token_pos": jnp.asarray(np.concatenate(d["token_pos"])),
+            }
+            for mtype, d in merged.items()
         }
 
     def _decode(self, tokens, eos) -> str:
@@ -218,11 +255,13 @@ class GRPOTrainer:
     def train_on_prompts(self, prompts: List[Dict[str, Any]]) -> Dict[str, float]:
         """One GRPO iteration: rollout -> advantages -> ppo_epochs updates."""
         batch = self._rollout(prompts)
+        mm_inputs = batch.get("mm_inputs")
         old_logprobs = self._logprob_fn(
-            self.params, batch["input_ids"], batch["attention_mask"]
+            self.params, batch["input_ids"], batch["attention_mask"], mm_inputs
         )
         ref_logprobs = self._logprob_fn(
-            self.ref_params, batch["input_ids"], batch["attention_mask"]
+            self.ref_params, batch["input_ids"], batch["attention_mask"],
+            mm_inputs,
         )
         train_batch = {
             "input_ids": batch["input_ids"],
@@ -231,6 +270,7 @@ class GRPOTrainer:
             "advantages": batch["advantages"],
             "old_logprobs": old_logprobs,
             "ref_logprobs": ref_logprobs,
+            "mm_inputs": mm_inputs,
         }
         metrics = {}
         for _ in range(self.cfg.ppo_epochs):
