@@ -67,14 +67,29 @@ def profiler_enabled() -> bool:
 class ThroughputMeter:
     """Running tokens/sec + MFU estimate.
 
-    ``flops_per_token`` defaults to the 6N training heuristic over the
-    trainable-model parameter count.
+    MFU counts the FLOPs actually executed, not 6x the trainable params
+    (round-1 counted only trainable params, so projector-only ALIGNMENT
+    training reported an MFU off by orders of magnitude):
+
+      forward            2 * num_params        (frozen params still run)
+      activation bwd     2 * num_params        (grads flow through frozen
+                                                layers down to the deepest
+                                                trainable param; slight
+                                                overcount for frozen
+                                                towers below it)
+      weight bwd         2 * num_params_trainable
+
+    Full fine-tuning recovers the standard 6N. Rematerialized recompute is
+    intentionally NOT counted (model FLOPs, PaLM convention).
     """
 
     def __init__(self, num_params: Optional[int] = None,
+                 num_params_trainable: Optional[int] = None,
                  flops_per_token: Optional[float] = None):
         if flops_per_token is None and num_params is not None:
-            flops_per_token = 6.0 * num_params
+            if num_params_trainable is None:
+                num_params_trainable = num_params
+            flops_per_token = 4.0 * num_params + 2.0 * num_params_trainable
         self.flops_per_token = flops_per_token
         self.peak = device_peak_flops() * jax.device_count()
         self.reset()

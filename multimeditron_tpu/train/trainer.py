@@ -244,12 +244,14 @@ class MultimodalTrainer:
         logger = logger or MetricsLogger(self.cfg)
         num_steps = num_steps or self.cfg.total_steps
         profile_on = profiler_enabled()
-        n_params = sum(
+        n_total = sum(x.size for x in jax.tree.leaves(self.params))
+        n_trainable = sum(
             x.size for x, m in zip(
                 jax.tree.leaves(self.params), jax.tree.leaves(self.trainable_mask)
             ) if m
         )
-        meter = ThroughputMeter(num_params=n_params)
+        meter = ThroughputMeter(num_params=n_total,
+                                num_params_trainable=n_trainable)
         last = {}
         t_prev = time.time()
         try:
