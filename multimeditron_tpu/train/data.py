@@ -51,7 +51,16 @@ def build_datasets(dataset_configs: List[Dict[str, Any]], seed: int = 0, num_pro
 
 class DataLoader:
     """Shuffled epoch iterator: dataset -> collated numpy batches, with a
-    small pipeline of background collation workers."""
+    small pipeline of background collation workers.
+
+    Multi-host: every process draws the SAME per-epoch permutation (seeded
+    identically) and takes its contiguous slice of each global batch, so
+    the union of all hosts' local batches is exactly the global batch and
+    shards are disjoint — the torchrun/DistributedSampler contract
+    (reference trains per-rank via torchrun, docs/source/guides/training.rst).
+    ``batch_size`` is the GLOBAL batch size; each host yields
+    ``batch_size // process_count`` samples per step.
+    """
 
     def __init__(
         self,
@@ -64,6 +73,8 @@ class DataLoader:
         num_workers: int = 2,
         num_epochs: Optional[int] = None,
         skip_errors: bool = True,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.collator = collator
@@ -78,6 +89,22 @@ class DataLoader:
         # a multi-hour run. The reference only handles this in its expert
         # trainer (corrupt-image filter, train_clip.py:495-510).
         self.skip_errors = skip_errors
+        if process_count is None:
+            try:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:
+                process_index, process_count = 0, 1
+        if batch_size % process_count:
+            raise ValueError(
+                f"Global batch size {batch_size} must divide evenly over "
+                f"{process_count} processes"
+            )
+        self.process_index = process_index
+        self.process_count = process_count
+        self.local_batch_size = batch_size // process_count
         if drop_last and len(dataset) < batch_size:
             raise ValueError(
                 f"Dataset has {len(dataset)} samples but the global batch "
@@ -89,11 +116,17 @@ class DataLoader:
         order = np.arange(n)
         if self.shuffle:
             order = np.random.default_rng(self.seed + epoch).permutation(n)
+        lb = self.local_batch_size
         for start in range(0, n, self.batch_size):
             idx = order[start : start + self.batch_size]
-            if len(idx) < self.batch_size and self.drop_last:
+            if len(idx) < self.batch_size and (
+                self.drop_last or self.process_count > 1
+            ):
+                # Multi-host always drops the partial global batch: a
+                # ragged per-host split would desynchronize step counts
+                # (and hang the collectives).
                 return
-            yield list(idx)
+            yield list(idx[self.process_index * lb : (self.process_index + 1) * lb])
 
     def _result(self, fut) -> Optional[Dict[str, Any]]:
         try:
@@ -122,3 +155,38 @@ class DataLoader:
                     if batch is not None:
                         yield batch
                 epoch += 1
+
+
+def globalize_mm_pack(
+    pack: Dict[str, np.ndarray],
+    local_rows: int,
+    process_index: int,
+    process_count: int,
+    pad_items_to: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Rewrite a host-local mm_inputs pack into GLOBAL batch coordinates.
+
+    The collator emits scatter targets relative to the local batch
+    (``batch_idx`` in [0, local_rows), padded slots >= local_rows). On a
+    multi-host mesh the global batch is the concatenation of every host's
+    rows, so live indices shift by ``process_index * local_rows`` and pad
+    slots move past the GLOBAL row count. ``pad_items_to`` additionally
+    pads the item stack (zero values + dropped indices) so every host
+    contributes the same number of items — required by
+    ``jax.make_array_from_process_local_data``'s uniform-shard contract.
+    """
+    values = np.asarray(pack["values"])
+    bi = np.asarray(pack["batch_idx"])
+    tp = np.asarray(pack["token_pos"])
+    global_rows = local_rows * process_count
+    bi = np.where(bi < local_rows, bi + process_index * local_rows,
+                  global_rows).astype(np.int32)
+    if pad_items_to is not None and values.shape[0] < pad_items_to:
+        n_emb = bi.shape[0] // max(values.shape[0], 1) if values.shape[0] else 1
+        extra = pad_items_to - values.shape[0]
+        values = np.concatenate(
+            [values, np.zeros((extra,) + values.shape[1:], values.dtype)])
+        bi = np.concatenate(
+            [bi, np.full(extra * n_emb, global_rows, np.int32)])
+        tp = np.concatenate([tp, np.zeros(extra * n_emb, np.int32)])
+    return {"values": values, "batch_idx": bi, "token_pos": tp.astype(np.int32)}

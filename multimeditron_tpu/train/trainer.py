@@ -189,8 +189,14 @@ class MultimodalTrainer:
     def shard_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
         """Host numpy batch -> device arrays sharded over the data axes.
         Arrays whose leading dim doesn't divide the data extent (e.g.
-        modality item stacks) are replicated; GSPMD re-shards as needed."""
+        modality item stacks) are replicated; GSPMD re-shards as needed.
+        On a multi-host mesh the batch is this host's SHARD (from the
+        process-sliced DataLoader) and the global arrays are assembled
+        from per-process local data."""
         from jax.sharding import NamedSharding, PartitionSpec
+
+        if jax.process_count() > 1:
+            return self._shard_batch_multihost(batch)
 
         sharding = batch_sharding(self.mesh)
         n_data = (
@@ -215,6 +221,46 @@ class MultimodalTrainer:
                 }
             else:
                 out[k] = put(v)
+        return out
+
+    def _shard_batch_multihost(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Assemble GLOBAL device arrays from this host's local batch via
+        ``jax.make_array_from_process_local_data`` (round-1 gap: the
+        input pipeline materialized the full global batch on one host;
+        the reference gets per-rank loading for free from torchrun).
+
+        Every host must contribute uniform shapes, so modality item
+        stacks are padded to the next multiple of the per-host device
+        count (padded entries scatter out of range and are dropped)."""
+        from multimeditron_tpu.train.data import globalize_mm_pack
+
+        pi, pc = jax.process_index(), jax.process_count()
+        sharding = batch_sharding(self.mesh)
+        local_dev = max(1, len(jax.local_devices()))
+
+        def put_global(x):
+            x = np.asarray(x)
+            global_shape = (x.shape[0] * pc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, x, global_shape)
+
+        rows = np.asarray(batch["input_ids"]).shape[0]
+        out = {}
+        for k, v in batch.items():
+            if k == "mm_inputs":
+                packs = {}
+                for m, pack in v.items():
+                    n = np.asarray(pack["values"]).shape[0]
+                    pad_to = -(-max(n, 1) // local_dev) * local_dev
+                    packs[m] = {
+                        kk: put_global(vv)
+                        for kk, vv in globalize_mm_pack(
+                            pack, rows, pi, pc, pad_items_to=pad_to
+                        ).items()
+                    }
+                out[k] = packs
+            else:
+                out[k] = put_global(v)
         return out
 
     # ------------------------------------------------------------------
