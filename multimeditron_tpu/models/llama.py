@@ -168,11 +168,12 @@ def _layer(
             jnp.arange(max_len)[None, :] < (cache_lengths + S)[:, None]
         ).astype(jnp.int32)
         # Decode (S small, causal irrelevant within the step): plain masked
-        # attention over the cache. Prefill-into-cache: causal with offset 0
-        # (q row i <-> cache slot i; engine prefills fresh slots from 0).
+        # attention over the cache. Prefill-into-cache: causal with the
+        # per-sample cache length as offset (0 for fresh slots; chunked
+        # prefill continues at the already-written prefix length).
         out = attention(
             q, cache_k, cache_v, kv_mask=kv_mask,
-            causal=prefill, causal_offset=0 if prefill else None,
+            causal=prefill, causal_offset=cache_lengths if prefill else None,
             impl=attn_impl,
         )
         new_cache = {"k": cache_k, "v": cache_v}

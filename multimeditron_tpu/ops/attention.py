@@ -52,11 +52,19 @@ def attention_xla(
     if causal:
         # Default: align the causal diagonal to the end of the kv axis so a
         # decode step (Sq=1, Skv=cache_len) attends to the whole prefix.
-        # Prefill-into-cache passes causal_offset=0 (q row i <-> cache slot i).
+        # Prefill-into-cache passes causal_offset = per-sample cache length
+        # (0 for fresh slots; the chunked-prefill continuation passes the
+        # already-written prefix length).
         offset = (Skv - Sq) if causal_offset is None else causal_offset
-        q_pos = jnp.arange(Sq)[:, None] + offset
-        k_pos = jnp.arange(Skv)[None, :]
-        mask = mask & (q_pos >= k_pos)[None, None]
+        offset = jnp.asarray(offset)
+        if offset.ndim == 1:  # (B,) per-sample offsets
+            q_pos = offset[:, None, None] + jnp.arange(Sq)[None, :, None]
+            k_pos = jnp.arange(Skv)[None, None, :]
+            mask = mask & (q_pos >= k_pos)[:, None]
+        else:
+            q_pos = jnp.arange(Sq)[:, None] + offset
+            k_pos = jnp.arange(Skv)[None, :]
+            mask = mask & (q_pos >= k_pos)[None, None]
     if kv_mask is not None:
         mask = mask & kv_mask[:, None, None, :].astype(bool)
 
@@ -96,6 +104,10 @@ def attention(
     if impl is None:
         long_seq = k.shape[2] >= 2048
         impl = "pallas" if (jax.default_backend() == "tpu" and long_seq) else "xla"
+    if causal_offset is not None and getattr(causal_offset, "ndim", 0) >= 1:
+        # Per-sample offsets (chunked prefill) are only lowered by the XLA
+        # path; the flash kernel takes a static scalar offset.
+        impl = "xla"
     if impl == "xla":
         return attention_xla(
             q, k, v, kv_mask=kv_mask, causal=causal, sm_scale=sm_scale,

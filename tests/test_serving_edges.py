@@ -113,3 +113,105 @@ def test_batched_prefill_matches_sequential(setup):
             assert a[t] == b[t]
             if a[t] == eos:
                 break
+
+
+# ----------------------------------------------------------------------
+# Chunked prefill + honest finishes (round-1 VERDICT #7)
+# ----------------------------------------------------------------------
+def _long_batch(collator, tok, n_words=60):
+    sample = {"conversations": [
+        {"role": "user", "content": " ".join(f"word{i}" for i in range(n_words))}],
+        "modalities": []}
+    return collator([sample])
+
+
+def test_chunked_prefill_matches_single_bucket(setup):
+    """A prompt longer than the largest bucket must prefill in chunks and
+    produce EXACTLY the tokens a big-bucket engine produces."""
+    model, params, collator = setup
+    tok = None
+    batch = _long_batch(collator, tok, n_words=60)
+    plen = int(np.asarray(batch["attention_mask"]).sum())
+    assert plen > 32  # actually exercises the chunked path
+    small = ServingEngine(
+        model, params,
+        EngineConfig(max_slots=1, max_seq_len=300, max_new_tokens=8,
+                     prefill_buckets=(16, 32), do_sample=False),
+    )
+    big = ServingEngine(
+        model, params,
+        EngineConfig(max_slots=1, max_seq_len=300, max_new_tokens=8,
+                     prefill_buckets=(256,), do_sample=False),
+    )
+    out_small = small.generate([batch], max_new_tokens=8)[0]
+    out_big = big.generate([batch], max_new_tokens=8)[0]
+    assert out_small == out_big
+
+
+def test_chunked_prefill_multimodal(setup):
+    """Image spans falling in a later chunk still get spliced."""
+    model, params, collator = setup
+    filler = " ".join(f"w{i}" for i in range(40))
+    sample = {"conversations": [
+        {"role": "user", "content": f"{filler} look {ATTACH} now"}],
+        "modalities": [{"type": "image", "value": _img((200, 30, 10))}]}
+    batch = collator([sample])
+    plen = int(np.asarray(batch["attention_mask"]).sum())
+    assert plen > 32
+    small = ServingEngine(
+        model, params,
+        EngineConfig(max_slots=1, max_seq_len=300, max_new_tokens=6,
+                     prefill_buckets=(16, 32), do_sample=False),
+    )
+    big = ServingEngine(
+        model, params,
+        EngineConfig(max_slots=1, max_seq_len=300, max_new_tokens=6,
+                     prefill_buckets=(256,), do_sample=False),
+    )
+    assert small.generate([batch], max_new_tokens=6)[0] == \
+        big.generate([batch], max_new_tokens=6)[0]
+
+
+def test_no_token_loss_at_cache_edge(setup):
+    """A request near max_seq_len gets every token the cache can hold
+    (shorter final decode chunks), and reports finish_reason='capacity'."""
+    model, params, collator = setup
+    batch = collator([{"conversations": [
+        {"role": "user", "content": "hello there"}], "modalities": []}])
+    plen = int(np.asarray(batch["attention_mask"]).sum())
+    cap = 11  # odd headroom, not a multiple of decode_chunk
+    engine = ServingEngine(
+        model, params,
+        EngineConfig(max_slots=1, max_seq_len=plen + cap, max_new_tokens=64,
+                     prefill_buckets=(32, 64), do_sample=False,
+                     decode_chunk=8),
+    )
+    req = engine.submit(batch, max_new_tokens=64)
+    engine.run()
+    eos = model.config.eos_token_idx
+    if eos in req.tokens:
+        assert req.finish_reason == "eos"
+    else:
+        # every cache position beyond the prompt was used for a token:
+        # first token from prefill + cap decoded tokens
+        assert len(req.tokens) == cap + 1
+        assert req.finish_reason == "capacity"
+
+
+def test_finish_reason_budget_and_eos(setup):
+    model, params, collator = setup
+    batch = collator([{"conversations": [
+        {"role": "user", "content": "short"}], "modalities": []}])
+    engine = ServingEngine(
+        model, params,
+        EngineConfig(max_slots=1, max_seq_len=128, max_new_tokens=4,
+                     prefill_buckets=(32, 64), do_sample=False),
+    )
+    req = engine.submit(batch, max_new_tokens=4)
+    engine.run()
+    assert req.done
+    assert req.finish_reason in ("eos", "budget")
+    if model.config.eos_token_idx in req.tokens:
+        assert req.finish_reason == "eos"
+    else:
+        assert len(req.tokens) == 4 and req.finish_reason == "budget"
