@@ -115,11 +115,18 @@ class _MOEBase(BaseModality):
     # -------------------------------------------------------------
     def init_params(self, key: jax.Array) -> Params:
         keys = jax.random.split(key, self.num_experts + 3)
+        # Expert towers are STACKED on a leading E axis (one pytree whose
+        # leaves carry the expert dim) so the dense fan-out is a single
+        # vmapped graph instead of E separately-compiled towers — one
+        # compile, one fused schedule, and the existing path-suffix
+        # sharding rules left-pad to the extra rank (the E axis stays
+        # unsharded; inner dims keep their fsdp/tp specs).
+        expert_list = [
+            init_vit_params(keys[i], self.vit_cfg)
+            for i in range(self.num_experts)
+        ]
         embedder: Params = {
-            "experts": [
-                init_vit_params(keys[i], self.vit_cfg)
-                for i in range(self.num_experts)
-            ],
+            "experts": jax.tree.map(lambda *xs: jnp.stack(xs), *expert_list),
             "gating": self.gating.init(keys[-3]),
         }
         params: Params = {"embedder": embedder}
@@ -127,11 +134,12 @@ class _MOEBase(BaseModality):
         llm_dim = self.config.hidden_size
         if self.per_expert_projectors:
             pkeys = jax.random.split(keys[-2], self.num_experts)
+            proj_list = [
+                init_mlp_projector(pk, native_dim, llm_dim, dtype=self.vit_cfg.dtype)
+                for pk in pkeys
+            ]
             params["projector"] = {
-                "projectors": [
-                    init_mlp_projector(pk, native_dim, llm_dim, dtype=self.vit_cfg.dtype)
-                    for pk in pkeys
-                ]
+                "projectors": jax.tree.map(lambda *xs: jnp.stack(xs), *proj_list)
             }
         else:
             params["projector"] = init_mlp_projector(
@@ -162,7 +170,10 @@ class _MOEBase(BaseModality):
 
                 vit_cfg, tower = load_clip_vision(name, dtype=dtype or self.vit_cfg.dtype)
                 self.vit_cfg = vit_cfg
-                params["embedder"]["experts"][i] = tower
+                params["embedder"]["experts"] = jax.tree.map(
+                    lambda s, t, i=i: s.at[i].set(t.astype(s.dtype)),
+                    params["embedder"]["experts"], tower,
+                )
                 loaded_any = True
         if self.config.gating_path and os.path.isdir(self.config.gating_path):
             self.gating, gparams = GatingNetwork.from_pretrained(self.config.gating_path)
@@ -172,12 +183,13 @@ class _MOEBase(BaseModality):
 
     # -------------------------------------------------------------
     def _expert_features(self, params: Params, values: jax.Array) -> jax.Array:
-        """(N, H, W, 3) -> (N, E, P, D_native): dense expert fan-out."""
-        feats = [
-            vit_forward(ep, self.vit_cfg, values, drop_cls=True)
-            for ep in params["embedder"]["experts"]
-        ]
-        return jnp.stack(feats, axis=1)
+        """(N, H, W, 3) -> (N, E, P, D_native): dense expert fan-out as ONE
+        vmapped tower over the stacked expert axis (round-1 ran a Python
+        loop over per-expert pytrees: E separate graphs, E compiles)."""
+        feats = jax.vmap(
+            lambda ep: vit_forward(ep, self.vit_cfg, values, drop_cls=True)
+        )(params["embedder"]["experts"])  # (E, N, P, C)
+        return feats.transpose(1, 0, 2, 3)
 
     def _gating_weights(self, params: Params, values: jax.Array) -> jax.Array:
         _, _, weights, _ = self.gating.forward(
@@ -250,12 +262,9 @@ class MOEImageModalityPEP(_MOEBase):
 
     def encode(self, params: Params, values: jax.Array) -> jax.Array:
         stacked = self._expert_features(params, values)  # (N, E, P, D_native)
-        projected = jnp.stack(
-            [
-                mlp_projector_forward(proj, stacked[:, i])
-                for i, proj in enumerate(params["projector"]["projectors"])
-            ],
-            axis=1,
-        )  # (N, E, P, H_llm)
+        projected = jax.vmap(mlp_projector_forward)(
+            params["projector"]["projectors"],
+            stacked.transpose(1, 0, 2, 3),
+        ).transpose(1, 0, 2, 3)  # (N, E, P, H_llm)
         weights = self._gating_weights(params, values)
         return self._fuse(projected, weights, params["projector"].get("cross_attn"))
