@@ -101,6 +101,7 @@ def train(ctx, config: str, seed: int = 0, resume: bool = False):
         output_dir=ta.get("output_dir", "checkpoints"),
         run_name=ta.get("run_name", "multimeditron-tpu"),
         wandb=("wandb" in str(ta.get("report_to", ""))),
+        wandb_run_id=cfg.get("wandb_run_id"),
         seed=seed,
     )
 

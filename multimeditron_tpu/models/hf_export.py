@@ -137,19 +137,69 @@ def export_multimodal(model, params: Params, out_dir: str, dtype=jnp.bfloat16) -
     for i, (mtype, mod) in enumerate(model.modalities.items()):
         mp = params["modalities"][mtype]
         base = f"modalities_with_projection.{i}."
-        sd.update(
-            vit_state_dict(
-                mp["embedder"], mod.vit_cfg,
-                prefix=f"{base}feature_extractor.vision_model.",
+        if isinstance(mp.get("embedder"), dict) and "experts" in mp["embedder"]:
+            sd.update(_moe_state_dict(mp, mod, base))
+        else:
+            sd.update(
+                vit_state_dict(
+                    mp["embedder"], mod.vit_cfg,
+                    prefix=f"{base}feature_extractor.vision_model.",
+                )
             )
-        )
-        sd.update(projector_state_dict(mp["projector"], prefix=f"{base}projector."))
+            sd.update(
+                projector_state_dict(mp["projector"], prefix=f"{base}projector.")
+            )
 
     sd = {k: jnp.asarray(v, dtype) for k, v in sd.items()}
     save_file(sd, os.path.join(out_dir, "model.safetensors"))
 
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(model.config.to_dict(), f, indent=2)
+
+
+def _cross_attn_state_dict(p: Params, prefix: str) -> Dict[str, jax.Array]:
+    """Our cross-attention pytree -> reference CrossAttention keys
+    (``attention.py:36-41``: q/k/v_proj + proj)."""
+    sd = {
+        prefix + "q_proj.weight": _t(p["q_proj"]),
+        prefix + "k_proj.weight": _t(p["k_proj"]),
+        prefix + "v_proj.weight": _t(p["v_proj"]),
+        prefix + "proj.weight": _t(p["out_proj"]),
+        prefix + "proj.bias": p["out_bias"],
+    }
+    for k in ("q", "k", "v"):
+        if f"{k}_bias" in p:
+            sd[prefix + f"{k}_proj.bias"] = p[f"{k}_bias"]
+    return sd
+
+
+def _moe_state_dict(mp: Params, mod, base: str) -> Dict[str, jax.Array]:
+    """MoE modality -> reference module paths: stacked expert towers as
+    ``experts.<e>.*`` (``image_modality_moe.py:104-118`` appends each
+    CLIPVisionModel.vision_model), shared ``projector.*`` or PEP
+    ``projectors.<e>.*``, ``cross_attn.*``. The gating ResNet is NOT in
+    the safetensors — the reference always loads it from ``gating_path``
+    at module init (``image_modality_moe.py:123``)."""
+    sd: Dict[str, jax.Array] = {}
+    experts = mp["embedder"]["experts"]
+    E = jax.tree.leaves(experts)[0].shape[0]
+    for e in range(E):
+        tower = jax.tree.map(lambda x, e=e: x[e], experts)
+        sd.update(vit_state_dict(tower, mod.vit_cfg, prefix=f"{base}experts.{e}."))
+    proj = mp["projector"]
+    if isinstance(proj, dict) and "projectors" in proj:
+        stacked = proj["projectors"]
+        for e in range(E):
+            p_e = jax.tree.map(lambda x, e=e: x[e], stacked)
+            sd.update(projector_state_dict(p_e, prefix=f"{base}projectors.{e}."))
+        if "cross_attn" in proj:
+            sd.update(_cross_attn_state_dict(proj["cross_attn"],
+                                             f"{base}cross_attn."))
+    else:
+        sd.update(projector_state_dict(proj, prefix=f"{base}projector."))
+    if "cross_attn" in mp:
+        sd.update(_cross_attn_state_dict(mp["cross_attn"], f"{base}cross_attn."))
+    return sd
 
 
 def import_multimodal(path: str):
@@ -176,18 +226,81 @@ def import_multimodal(path: str):
     }
     for i, (mtype, mod) in enumerate(model.modalities.items()):
         base = f"modalities_with_projection.{i}."
+        if any(k.startswith(base + "experts.") for k in state):
+            params["modalities"][mtype] = _moe_params_from_state(
+                state, mod, base)
+            continue
         tower = vit_params_from_state_dict(
             state, mod.vit_cfg, prefix=f"{base}feature_extractor.vision_model.",
             dtype=mod.vit_cfg.dtype,
         )
-        g = lambda k: jnp.asarray(state[base + "projector." + k], mod.vit_cfg.dtype)
-        projector = {
-            "fc1": g("projection.0.weight").T,
-            "b1": g("projection.0.bias"),
-            "fc2": g("projection.2.weight").T,
-            "b2": g("projection.2.bias"),
-            "fc3": g("projection.4.weight").T,
-            "b3": g("projection.4.bias"),
-        }
+        projector = _projector_from_state(state, base + "projector.",
+                                          mod.vit_cfg.dtype)
         params["modalities"][mtype] = {"embedder": tower, "projector": projector}
     return model, params
+
+
+def _projector_from_state(state, prefix: str, dtype) -> Params:
+    g = lambda k: jnp.asarray(state[prefix + k], dtype)
+    return {
+        "fc1": g("projection.0.weight").T,
+        "b1": g("projection.0.bias"),
+        "fc2": g("projection.2.weight").T,
+        "b2": g("projection.2.bias"),
+        "fc3": g("projection.4.weight").T,
+        "b3": g("projection.4.bias"),
+    }
+
+
+def _cross_attn_from_state(state, prefix: str, dtype) -> Params:
+    g = lambda k: jnp.asarray(state[prefix + k], dtype)
+    p = {
+        "q_proj": g("q_proj.weight").T,
+        "k_proj": g("k_proj.weight").T,
+        "v_proj": g("v_proj.weight").T,
+        "out_proj": g("proj.weight").T,
+        "out_bias": g("proj.bias"),
+    }
+    for k in ("q", "k", "v"):
+        if prefix + f"{k}_proj.bias" in state:
+            p[f"{k}_bias"] = g(f"{k}_proj.bias")
+    return p
+
+
+def _moe_params_from_state(state, mod, base: str) -> Params:
+    """Inverse of :func:`_moe_state_dict`: rebuild stacked expert towers
+    and (PEP) stacked projectors. The gating network is initialized fresh
+    (or from gating_path via load_pretrained_params) — it is not part of
+    the safetensors, matching the reference."""
+    from multimeditron_tpu.models.hf_import import vit_params_from_state_dict
+
+    init = mod.init_params(jax.random.PRNGKey(0))
+    dtype = mod.vit_cfg.dtype
+    E = jax.tree.leaves(init["embedder"]["experts"])[0].shape[0]
+    towers = [
+        vit_params_from_state_dict(
+            state, mod.vit_cfg, prefix=f"{base}experts.{e}.", dtype=dtype)
+        for e in range(E)
+    ]
+    out: Params = {
+        "embedder": {
+            "experts": jax.tree.map(lambda *xs: jnp.stack(xs), *towers),
+            "gating": init["embedder"]["gating"],
+        }
+    }
+    if f"{base}projectors.0.projection.0.weight" in state:
+        projs = [_projector_from_state(state, f"{base}projectors.{e}.", dtype)
+                 for e in range(E)]
+        out["projector"] = {
+            "projectors": jax.tree.map(lambda *xs: jnp.stack(xs), *projs)
+        }
+        if f"{base}cross_attn.q_proj.weight" in state:
+            out["projector"]["cross_attn"] = _cross_attn_from_state(
+                state, f"{base}cross_attn.", dtype)
+    else:
+        out["projector"] = _projector_from_state(state, f"{base}projector.",
+                                                 dtype)
+        if f"{base}cross_attn.q_proj.weight" in state:
+            out["cross_attn"] = _cross_attn_from_state(
+                state, f"{base}cross_attn.", dtype)
+    return out

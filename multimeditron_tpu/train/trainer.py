@@ -67,6 +67,9 @@ class TrainerConfig:
     output_dir: str = "checkpoints"
     run_name: str = "multimeditron-tpu"
     wandb: bool = False
+    # Reattach to an existing wandb run on resume (reference
+    # cli/train.py:163-186: wandb_run_id + resume="allow").
+    wandb_run_id: Optional[str] = None
     # profiling window (reference profiler parity: env-gated)
     profile_start_step: int = 10
     profile_num_steps: int = 5
@@ -87,11 +90,22 @@ class MetricsLogger:
             try:
                 import wandb
 
-                self._wandb = wandb.init(
-                    project="MultiMeditron", name=cfg.run_name, config=dataclasses.asdict(cfg)
-                )
+                self._wandb = wandb.init(**self.wandb_init_kwargs(cfg))
             except Exception:
                 self._wandb = None
+
+    @staticmethod
+    def wandb_init_kwargs(cfg: "TrainerConfig") -> Dict[str, Any]:
+        """Resume-aware wandb.init kwargs: a configured run id reattaches
+        to the existing run instead of starting a fresh one."""
+        kwargs: Dict[str, Any] = dict(
+            project="MultiMeditron",
+            name=cfg.run_name,
+            config=dataclasses.asdict(cfg),
+        )
+        if cfg.wandb_run_id:
+            kwargs.update(id=str(cfg.wandb_run_id), resume="allow")
+        return kwargs
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
         record = {"step": step, **{k: float(v) for k, v in metrics.items()}}
