@@ -37,6 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBLANES = 8
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LOG2_E = 1.4426950408889634  # scores are kept in the base-2 domain: one
+# fused scale (sm_scale * log2e) replaces scale-then-exp, and exp2 skips
+# the multiply hidden inside exp's lowering. lse is stored in base-2.
 
 
 def _below_or_on_diag(iq, block_q, ik, block_k, offset):
@@ -69,8 +72,13 @@ def _fwd_kernel(
     q_ref, k_ref, v_ref, kv_mask_ref,
     o_ref, lse_ref,
     m_scr, l_scr, acc_scr,
-    *, sm_scale, causal, offset, block_q, block_k,
+    *, sm_scale, causal, offset, block_q, block_k, head_pack, kv_shared,
 ):
+    # ``head_pack`` q heads are processed per grid step as fully independent
+    # online-softmax chains; Mosaic overlaps the MXU dots of one chain with
+    # the VPU softmax of the other, which a single serialized
+    # QK^T -> softmax -> PV chain cannot do. The causal mask is built once
+    # and shared across the packed heads (identical geometry).
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -86,49 +94,62 @@ def _fwd_kernel(
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0, 0]  # (block_q, D)
-        k = k_ref[0, 0]  # (block_k, D)
-        v = v_ref[0, 0]
-        s = lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s *= sm_scale
-
         kv_blk = kv_mask_ref[0, :1, :] if kv_mask_ref is not None else None
         mask = _block_mask(iq, ik, block_q, block_k, offset, causal, kv_blk)
-        if mask is not None:
-            s = jnp.where(mask, s, MASK_VALUE)
 
-        m_prev = m_scr[...]          # (block_q, LANES), lanes replicated
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=1)[:, None]       # (block_q, 1)
-        m_next = jnp.maximum(m_prev, m_curr)       # (block_q, LANES)
+        s_all = []
+        for a in range(head_pack):
+            q = q_ref[0, a]  # (block_q, D)
+            k = k_ref[0, 0 if kv_shared else a]  # (block_k, D)
+            s = lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s_all.append(s * (sm_scale * LOG2_E))
 
-        p = jnp.exp(s - m_next[:, :1])
-        if mask is not None:
-            p = jnp.where(mask, p, 0.0)
+        for a in range(head_pack):
+            s = s_all[a]
+            if mask is not None:
+                s = jnp.where(mask, s, MASK_VALUE)
 
-        alpha = jnp.exp(m_prev - m_next)           # (block_q, LANES)
-        l_corr = alpha * l_prev
-        l_next = jnp.sum(p, axis=1)[:, None] + l_corr
+            m_prev = m_scr[a]            # (block_q, LANES), lanes replicated
+            l_prev = l_scr[a]
+            m_curr = jnp.max(s, axis=1)[:, None]       # (block_q, 1)
+            m_next = jnp.maximum(m_prev, m_curr)       # (block_q, LANES)
 
-        m_scr[...] = m_next
-        l_scr[...] = l_next
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            p = jnp.exp2(s - m_next[:, :1])
+            # Masked entries underflow to exact zeros via exp2 unless a
+            # whole row can be masked while its running max is still -inf
+            # (kv padding masks / negative offsets) — only then pay the
+            # explicit zeroing pass.
+            if mask is not None and (
+                kv_mask_ref is not None or offset < 0 or not causal
+            ):
+                p = jnp.where(mask, p, 0.0)
+
+            alpha = jnp.exp2(m_prev - m_next)          # (block_q, LANES)
+            l_corr = alpha * l_prev
+            l_next = jnp.sum(p, axis=1)[:, None] + l_corr
+
+            m_scr[a] = m_next
+            l_scr[a] = l_next
+            v = v_ref[0, 0 if kv_shared else a]
+            acc_scr[a] = acc_scr[a] * alpha[:, :1] + lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(ik == nk - 1)
     def _finalize():
-        l = l_scr[...]            # (block_q, LANES)
-        m = m_scr[...]
-        l_safe = jnp.maximum(l, 1e-30)
-        o = acc_scr[...] / l_safe[:, :1]
-        o = jnp.where(l[:, :1] > 0, o, 0.0)
-        o_ref[0, 0] = o.astype(o_ref.dtype)
-        lse = jnp.where(l > 0, m + jnp.log(l_safe), MASK_VALUE)
-        lse_ref[0, 0] = lse.astype(lse_ref.dtype)
+        for a in range(head_pack):
+            l = l_scr[a]              # (block_q, LANES)
+            m = m_scr[a]
+            l_safe = jnp.maximum(l, 1e-30)
+            o = acc_scr[a] / l_safe[:, :1]
+            o = jnp.where(l[:, :1] > 0, o, 0.0)
+            o_ref[0, a] = o.astype(o_ref.dtype)
+            lse = jnp.where(l > 0, m + jnp.log2(l_safe), MASK_VALUE)
+            lse_ref[0, a] = lse.astype(lse_ref.dtype)
 
 
 def _fwd(q, k, v, kv_mask, causal, sm_scale, offset, block_q, block_k, interpret):
@@ -136,26 +157,34 @@ def _fwd(q, k, v, kv_mask, causal, sm_scale, offset, block_q, block_k, interpret
     _, Hkv, Skv, _ = k.shape
     group = H // Hkv
     nq, nk = Sq // block_q, Skv // block_k
-    grid = (B, H, nq, nk)
 
-    def kv_index(b, h, iq, ik):
+    # Pack 2 q heads per grid step when the pair maps to one kv head (even
+    # GQA group) or each brings its own (MHA). Odd grouping falls back.
+    hp = 2 if (H % 2 == 0 and (group == 1 or group % 2 == 0)) else 1
+    kv_shared = hp == 2 and group > 1
+    grid = (B, H // hp, nq, nk)
+
+    def remap_k(iq, ik):
         if causal:
-            ik = lax.select(
+            return lax.select(
                 _below_or_on_diag(iq, block_q, ik, block_k, offset), ik, 0
             )
-        return (b, h // group, ik, 0)
+        return ik
+
+    if kv_shared:
+        kv_index = lambda b, h, iq, ik: (b, (h * hp) // group, remap_k(iq, ik), 0)
+        kv_block = (1, 1, block_k, D)
+    else:
+        kv_index = lambda b, h, iq, ik: (b, h, remap_k(iq, ik), 0)
+        kv_block = (1, hp, block_k, D)
 
     def kv_mask_index(b, h, iq, ik):
-        if causal:
-            ik = lax.select(
-                _below_or_on_diag(iq, block_q, ik, block_k, offset), ik, 0
-            )
-        return (b, 0, ik)
+        return (b, 0, remap_k(iq, ik))
 
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik: (b, h, iq, 0)),
-        pl.BlockSpec((1, 1, block_k, D), kv_index),
-        pl.BlockSpec((1, 1, block_k, D), kv_index),
+        pl.BlockSpec((1, hp, block_q, D), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec(kv_block, kv_index),
+        pl.BlockSpec(kv_block, kv_index),
     ]
     inputs = [q, k, v]
     if kv_mask is not None:
@@ -172,6 +201,7 @@ def _fwd(q, k, v, kv_mask, causal, sm_scale, offset, block_q, block_k, interpret
             *refs,
             sm_scale=sm_scale, causal=causal, offset=offset,
             block_q=block_q, block_k=block_k,
+            head_pack=hp, kv_shared=kv_shared,
         )
 
     out_shape = [
@@ -179,8 +209,8 @@ def _fwd(q, k, v, kv_mask, causal, sm_scale, offset, block_q, block_k, interpret
         jax.ShapeDtypeStruct((B, H, Sq, LANES), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik: (b, h, iq, 0)),
-        pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, hp, block_q, D), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, hp, block_q, LANES), lambda b, h, iq, ik: (b, h, iq, 0)),
     ]
     o, lse = pl.pallas_call(
         kernel,
@@ -189,12 +219,13 @@ def _fwd(q, k, v, kv_mask, causal, sm_scale, offset, block_q, block_k, interpret
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((hp, block_q, LANES), jnp.float32),
+            pltpu.VMEM((hp, block_q, LANES), jnp.float32),
+            pltpu.VMEM((hp, block_q, D), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)
@@ -232,12 +263,16 @@ def _dq_kernel(
 
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale
+        ) * (sm_scale * LOG2_E)
         kv_blk = kv_mask_ref[0, :1, :] if kv_mask_ref is not None else None
         mask = _block_mask(iq, ik, block_q, block_k, offset, causal, kv_blk)
-
-        p = jnp.exp(s - lse[:, :1])
         if mask is not None:
+            s = jnp.where(mask, s, MASK_VALUE)
+
+        p = jnp.exp2(s - lse[:, :1])
+        if mask is not None and (
+            kv_mask_ref is not None or offset < 0 or not causal
+        ):
             p = jnp.where(mask, p, 0.0)
 
         dp = lax.dot_general(
@@ -288,12 +323,16 @@ def _dkv_kernel(
 
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale
+        ) * (sm_scale * LOG2_E)
         kv_blk = kv_mask_ref[0, :1, :] if kv_mask_ref is not None else None
         mask = _block_mask(iq, ik, block_q, block_k, offset, causal, kv_blk)
-
-        p = jnp.exp(s - lse[:, :1])
         if mask is not None:
+            s = jnp.where(mask, s, MASK_VALUE)
+
+        p = jnp.exp2(s - lse[:, :1])
+        if mask is not None and (
+            kv_mask_ref is not None or offset < 0 or not causal
+        ):
             p = jnp.where(mask, p, 0.0)
 
         # dv += p^T @ do
@@ -512,7 +551,7 @@ def flash_attention(
 
     Sq_p = _round_up(Sq, block_q)
     Skv_p = _round_up(Skv, block_k)
-    D_p = _round_up(D, LANES)
+    D_p = D if D == 64 else _round_up(D, LANES)
 
     # causal alignment: q global position = local + (Skv - Sq), computed on
     # ORIGINAL lengths; q/k padding goes at the end and is masked off.
