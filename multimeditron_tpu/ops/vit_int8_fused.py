@@ -49,7 +49,7 @@ Params = Dict[str, Any]
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _row_block(m: int, target: int = 2112) -> int:
+def _row_block(m: int, target: int = 1056) -> int:
     """Largest divisor of ``m`` that is <= target (rows per grid step).
 
     Mosaic requires the sublane dimension of a block to be divisible by 8
@@ -226,7 +226,7 @@ def _scalar(v) -> jax.Array:
     return jnp.asarray(v, jnp.float32).reshape(1, 1)
 
 
-def ln_quant(x, ln_w, ln_b, scale, eps, *, block_rows: int = 2112,
+def ln_quant(x, ln_w, ln_b, scale, eps, *, block_rows: int = 1056,
              interpret: Optional[bool] = None):
     """(M, D) bf16 -> LayerNorm -> quantize by ``scale`` -> (M, D) int8."""
     M, D = x.shape
@@ -246,7 +246,7 @@ def ln_quant(x, ln_w, ln_b, scale, eps, *, block_rows: int = 2112,
 
 
 def qkv_int8(xq, wq, ws, bias, s0, *, out_dtype=jnp.bfloat16,
-             qkv_scales=None, block_rows: int = 2112,
+             qkv_scales=None, block_rows: int = 1056,
              interpret: Optional[bool] = None):
     """xq (M, K) int8 @ wq (3, K, D) -> three (M, D) arrays (q, k, v).
 
@@ -282,7 +282,7 @@ def qkv_int8(xq, wq, ws, bias, s0, *, out_dtype=jnp.bfloat16,
 
 
 def oproj_ln_quant(o, x_res, wq, ws, bias, ln_w, ln_b, s1, s2, eps,
-                   *, block_rows: int = 2112, interpret: Optional[bool] = None):
+                   *, block_rows: int = 1056, interpret: Optional[bool] = None):
     """x' = x_res + dequant(quant(o) @ wq) + b;  also ln2(x') quantized.
 
     Returns (x' bf16 (M, D), xq2 int8 (M, D))."""
@@ -312,7 +312,7 @@ def oproj_ln_quant(o, x_res, wq, ws, bias, ln_w, ln_b, s1, s2, eps,
       _scalar(s1), _scalar(1.0) / _scalar(s2))
 
 
-def fc1_gelu_quant(xq, wq, ws, bias, s2, s3, act, *, block_rows: int = 2112,
+def fc1_gelu_quant(xq, wq, ws, bias, s2, s3, act, *, block_rows: int = 1056,
                    block_cols: int = 2048, interpret: Optional[bool] = None):
     """hq = quant(act(xq @ wq * ws * s2 + b), s3) -> (M, N) int8.
 
@@ -347,7 +347,7 @@ def fc1_gelu_quant(xq, wq, ws, bias, s2, s3, act, *, block_rows: int = 2112,
 
 
 def fc2_res_ln_quant(hq, x_res, wq, ws, bias, ln_w, ln_b, s3, s0_next, eps,
-                     *, block_rows: int = 2112, interpret: Optional[bool] = None):
+                     *, block_rows: int = 1056, interpret: Optional[bool] = None):
     """x'' = x_res + dequant(hq @ wq) + b; also ln1_next(x'') quantized.
 
     Returns (x'' bf16 (M, D), xq_next int8 (M, D))."""
@@ -515,6 +515,7 @@ def vit_forward_int8_fused(
     act_scales: jax.Array,  # (L, 4) static scales; (L, 7) adds int8 attn
     drop_cls: bool = True,
     interpret: Optional[bool] = None,
+    block_rows: int = 1056,
 ) -> jax.Array:
     """Fused-Pallas twin of ``vit_forward_int8`` (static-scales path)."""
     B = pixel_values.shape[0]
@@ -546,7 +547,8 @@ def vit_forward_int8_fused(
     # s0 of layer 0; rolled so step l carries s0 of layer l+1.
     s0_next = jnp.roll(act_scales[:, 0], -1)
     xq0 = ln_quant(x2d, packed["ln1_w"][0], packed["ln1_b"][0],
-                   act_scales[0, 0], eps, interpret=interpret)
+                   act_scales[0, 0], eps, block_rows=block_rows,
+                   interpret=interpret)
 
     layer_stacks = (
         packed["wqkv_q"], packed["wqkv_s"], packed["qkv_b"],
@@ -580,11 +582,14 @@ def vit_forward_int8_fused(
                               out_dtype=xc.dtype, interpret=interpret)
             xp, xq2 = oproj_ln_quant(o.reshape(M, D), xc, wo, wo_s[0],
                                      o_b[0], ln2w, ln2b, sc[1], sc[2], eps,
+                                     block_rows=block_rows,
                                      interpret=interpret)
             hq = fc1_gelu_quant(xq2, w1, w1_s[0], b1[0], sc[2], sc[3],
-                                cfg.hidden_act, interpret=interpret)
+                                cfg.hidden_act, block_rows=block_rows,
+                                interpret=interpret)
             xn, xqn = fc2_res_ln_quant(hq, xp, w2, w2_s[0], b2[0],
                                        ln1nw, ln1nb, sc[3], s0n, eps,
+                                       block_rows=block_rows,
                                        interpret=interpret)
             return (xn, xqn), None
         q, k, v = qkv_int8(xqc, wqkv, wqkv_s, qkv_b, sc[0],
