@@ -90,7 +90,11 @@ class ServingEngine:
 
         self.queue: List[Request] = []
         self._next_id = 0
-        self._rng_key = jax.random.PRNGKey(cfg.seed)
+        # Host-side seed counter: every jitted call derives its PRNG key
+        # IN-GRAPH from an int32 seed argument. jax.random.split on the
+        # host is an eager device dispatch (~30-100 ms through remote
+        # relays) and was the dominant TTFT cost at high concurrency.
+        self._seed_ctr = 0
 
         self.decode_chunk = max(1, cfg.decode_chunk)
         self._prefill_fns: Dict[int, Callable] = {}
@@ -104,11 +108,34 @@ class ServingEngine:
     # ------------------------------------------------------------------
     # Compiled functions
     # ------------------------------------------------------------------
+    def _make_sampler(self):
+        """(n, V) f32 logits + (n,) temps + seed -> (n,) int32 tokens,
+        entirely in-graph (one device dispatch for a whole prefill group)."""
+        cfg = self.cfg
+
+        def sample(logits, temps, seed):
+            logits = logits.astype(jnp.float32)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if not cfg.do_sample:
+                return greedy
+            scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+            if cfg.top_k and cfg.top_k > 0:
+                kth = jax.lax.top_k(scaled, cfg.top_k)[0][..., -1:]
+                scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+            key = jax.random.PRNGKey(seed)
+            sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+            return jnp.where(temps > 1e-6, sampled, greedy)
+
+        return sample
+
     def _build_prefill_fn(self, bucket: int, n: int = 1) -> Callable:
         model, cfg = self.model, self.cfg
         llm = model.config.llm
 
-        def prefill(params, cache, input_ids, attention_mask, mm_inputs, slots):
+        sampler = self._make_sampler()
+
+        def prefill(params, cache, input_ids, attention_mask, mm_inputs, slots,
+                    temps, seed):
             # Encode + splice + causal prefill of n requests into a fresh
             # local cache, then copy each written region into its slot.
             embeds = model.embed(params, input_ids, mm_inputs)
@@ -137,7 +164,8 @@ class ServingEngine:
             last_logits = jnp.take_along_axis(
                 logits, (lengths - 1)[:, None, None], axis=1
             )[:, 0]
-            return k, v, lengths, last_logits
+            first_tokens = sampler(last_logits, temps, seed)
+            return k, v, lengths, first_tokens
 
         return jax.jit(prefill, donate_argnums=(1,))
 
@@ -184,7 +212,9 @@ class ServingEngine:
             }
             return new_cache, next_tokens
 
-        def decode(params, cache, tokens, active, temps, key):
+        def decode(params, cache, tokens, active, temps, seed):
+            key = jax.random.PRNGKey(seed)
+
             def body(carry, _):
                 cache, tokens, active, key = carry
                 key, sub = jax.random.split(key)
@@ -328,20 +358,21 @@ class ServingEngine:
         key = (bucket, n, sig[1])
         if key not in self._prefill_fns:
             self._prefill_fns[key] = self._build_prefill_fn(bucket, n)
-        k, v, lengths, last_logits = self._prefill_fns[key](
+        temps = np.asarray([r.temperature for r in group], np.float32)
+        k, v, lengths, first_tokens = self._prefill_fns[key](
             self.params,
             {"k": self.cache["k"], "v": self.cache["v"]},
             jnp.asarray(input_ids), jnp.asarray(mask), mm,
             jnp.asarray(np.asarray(slots, np.int32)),
+            jnp.asarray(temps), self._next_seed(),
         )
         self.cache = {"k": k, "v": v, "length": self.cache["length"]}
         lengths = np.asarray(lengths)
-        last_logits = np.asarray(last_logits)
+        first_tokens = np.asarray(first_tokens)
 
         now = time.time()
         for j, (req, slot) in enumerate(zip(group, slots)):
-            self._rng_key, sub = jax.random.split(self._rng_key)
-            first = self._sample_host(jnp.asarray(last_logits[j]), sub, req.temperature)
+            first = int(first_tokens[j])
             req.first_token_time = now
             req.tokens.append(int(first))
             self.slot_request[slot] = req
@@ -364,8 +395,10 @@ class ServingEngine:
         model, cfg = self.model, self.cfg
         llm = model.config.llm
 
+        sampler = self._make_sampler()
+
         def chunk_prefill(params, cache, input_ids, attention_mask,
-                          mm_inputs, slot, start_len):
+                          mm_inputs, slot, start_len, temps, seed):
             embeds = model.embed(params, input_ids, mm_inputs)
             k_slot = jax.lax.dynamic_slice_in_dim(cache["k"], slot, 1, axis=1)
             v_slot = jax.lax.dynamic_slice_in_dim(cache["v"], slot, 1, axis=1)
@@ -386,7 +419,7 @@ class ServingEngine:
             chunk_len = attention_mask.sum(axis=-1).astype(jnp.int32)
             last = jnp.take_along_axis(
                 logits, (chunk_len - 1)[:, None, None], axis=1)[:, 0]
-            return k, v, last
+            return k, v, sampler(last, temps, seed)
 
         return jax.jit(chunk_prefill, donate_argnums=(1,))
 
@@ -422,7 +455,8 @@ class ServingEngine:
         mm_sig = self._request_signature(req)[1]
 
         start = 0
-        last_logits = None
+        first_token = None
+        temps = np.asarray([req.temperature], np.float32)
         while start < plen:
             c = min(W, plen - start)
             bucket = next(b for b in self.cfg.prefill_buckets if c <= b)
@@ -433,19 +467,18 @@ class ServingEngine:
             key = ("chunk", bucket, mm_sig)
             if key not in self._chunk_prefill_fns:
                 self._chunk_prefill_fns[key] = self._build_chunk_prefill_fn(bucket)
-            k, v, last_logits = self._chunk_prefill_fns[key](
+            k, v, first_token = self._chunk_prefill_fns[key](
                 self.params,
                 {"k": self.cache["k"], "v": self.cache["v"]},
                 jnp.asarray(chunk_ids), jnp.asarray(chunk_mask),
                 self._chunk_mm(mm, start, c, bucket),
                 jnp.int32(slot), jnp.int32(start),
+                jnp.asarray(temps), self._next_seed(),
             )
             self.cache = {"k": k, "v": v, "length": self.cache["length"]}
             start += c
 
-        self._rng_key, sub = jax.random.split(self._rng_key)
-        first = self._sample_host(
-            jnp.asarray(np.asarray(last_logits)[0]), sub, req.temperature)
+        first = int(np.asarray(first_token)[0])
         req.first_token_time = time.time()
         req.tokens.append(int(first))
         self.slot_request[slot] = req
@@ -461,15 +494,9 @@ class ServingEngine:
         else:
             self.active[slot] = True
 
-    def _sample_host(self, logits, key, temperature) -> int:
-        logits = logits.astype(jnp.float32)
-        if not self.cfg.do_sample or temperature <= 1e-6:
-            return int(jnp.argmax(logits))
-        scaled = logits / max(temperature, 1e-6)
-        if self.cfg.top_k and self.cfg.top_k > 0:
-            kth = jax.lax.top_k(scaled, self.cfg.top_k)[0][-1]
-            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
-        return int(jax.random.categorical(key, scaled))
+    def _next_seed(self) -> np.int32:
+        self._seed_ctr += 1
+        return np.int32((self.cfg.seed + 0x9E3779B1 * self._seed_ctr) & 0x7FFFFFFF)
 
     def _finish(self, slot: int, reason: str = "budget") -> None:
         req = self.slot_request[slot]
@@ -512,7 +539,6 @@ class ServingEngine:
             "v": self.cache["v"],
             "length": jnp.asarray(self.lengths),
         }
-        self._rng_key, sub = jax.random.split(self._rng_key)
         active_at_start = self.active.copy()
         cache, _, _, toks = decode_fn(
             self.params,
@@ -520,7 +546,7 @@ class ServingEngine:
             jnp.asarray(self.last_tokens),
             jnp.asarray(self.active),
             jnp.asarray(self.slot_temperature),
-            sub,
+            self._next_seed(),
         )
         self.cache = {"k": cache["k"], "v": cache["v"], "length": self.cache["length"]}
         toks = np.asarray(toks)  # (chunk, slots) — the ONE download per chunk
