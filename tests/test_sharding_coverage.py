@@ -1,0 +1,140 @@
+"""Multi-device sharding coverage for the 'exotic' param trees.
+
+VERDICT round-1 weak #8: the dryrun/trainer mesh tests only pushed a
+single-CLIP model through ``param_sharding_rules``; MoE expert stacks
+(leading E axis from the vmapped tower) and the Whisper audio tower
+never ran on a multi-device mesh. This test trains one step of a model
+holding BOTH on a dp2 x fsdp2 x tp2 virtual mesh and asserts the
+resulting param leaves are genuinely sharded (addressable shard smaller
+than the global array), not silently replicated.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimeditron_tpu.data.chat_template import ChatTemplate
+from multimeditron_tpu.data.collator import DataCollatorForMultimodal
+from multimeditron_tpu.data.loaders import AutoModalityLoader, BaseModalityLoader
+from multimeditron_tpu.modalities.audio_whisper import WhisperAudioConfig
+from multimeditron_tpu.modalities.image_moe import MOEImageConfig
+from multimeditron_tpu.models.llama import LlamaConfig
+from multimeditron_tpu.models.multimodal import (
+    MultimodalConfig,
+    MultimodalModel,
+    TrainingMode,
+)
+from multimeditron_tpu.train.trainer import MultimodalTrainer, TrainerConfig
+from tests.fixtures.toy_tokenizer import ToyTokenizer
+from tests.test_multimodal import ATTACH, _img
+
+
+class PassthroughAudioLoader(BaseModalityLoader):
+    def load(self, modality):
+        return modality["value"]
+
+
+def _moe_audio_model():
+    llm = LlamaConfig(
+        vocab_size=4096, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, dtype=jnp.float32,
+    )
+    moe = MOEImageConfig(
+        model_type="moe_meditron_clip",
+        hidden_size=64,
+        image_size=16,
+        patch_size=8,
+        vision_hidden_size=24,
+        vision_layers=1,
+        vision_heads=4,
+        vision_intermediate_size=48,
+        param_dtype="float32",
+        num_experts=3,
+        fusion_method="weighted_average",
+        generalist_idx=-1,
+        gating_resnet_depth=18,
+    )
+    audio = WhisperAudioConfig(
+        model_type="whisper_audio",
+        hidden_size=64,
+        downsample=150,
+        audio_hidden_size=32,
+        audio_layers=1,
+        audio_heads=4,
+        audio_intermediate_size=64,
+        param_dtype="float32",
+    )
+    return MultimodalModel(MultimodalConfig(llm=llm, modalities=[moe, audio]))
+
+
+def _is_sharded(arr) -> bool:
+    shard = arr.addressable_shards[0].data
+    return int(np.prod(shard.shape)) < int(np.prod(arr.shape))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_moe_whisper_params_shard_and_train():
+    model = _moe_audio_model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    trainer = MultimodalTrainer(
+        model, params,
+        TrainerConfig(
+            learning_rate=1e-3, min_lr=1e-4, total_steps=4,
+            training_mode=TrainingMode.END2END,
+            dp=2, fsdp=2, tp=2, remat=True,
+            output_dir="/tmp/mmt_shard_cov_ckpt",
+        ),
+    )
+
+    collator = DataCollatorForMultimodal(
+        tokenizer=ToyTokenizer(),
+        modality_processors=model.processors(),
+        modality_loaders={
+            "image": AutoModalityLoader.create("raw-image"),
+            "audio": PassthroughAudioLoader(),
+        },
+        attachment_token=ATTACH,
+        chat_template=ChatTemplate.llama(),
+        pad_to_multiple=16,
+        modality_budgets={"image": 4, "audio": 4},
+    )
+    audio_wave = np.sin(np.linspace(0, 400, 16000)).astype(np.float32)
+    samples = [
+        {
+            "conversations": [
+                {"role": "user",
+                 "content": f"image {ATTACH} and audio {ATTACH} together"},
+                {"role": "assistant", "content": f"answer {i}"},
+            ],
+            "modalities": [
+                {"type": "image", "value": _img((10 * i, 5, 200))},
+                {"type": "audio", "value": audio_wave},
+            ],
+        }
+        for i in range(4)
+    ]
+    batch = collator(samples)
+    metrics = trainer.train_step(batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    p = trainer.params
+    # LLM decoder leaves shard over fsdp/tp.
+    assert _is_sharded(p["llm"]["layers"]["q_proj"])
+    # The STACKED MoE expert tower (leading E axis) actually shards: rule
+    # layers/fc1 -> (..., 'fsdp', 'tp') left-padded over (E, L, D, F).
+    experts = p["modalities"]["image"]["embedder"]["experts"]
+    assert experts["layers"]["fc1"].ndim == 4  # (E, L, D, F)
+    assert _is_sharded(experts["layers"]["fc1"])
+    assert _is_sharded(experts["layers"]["q_proj"])
+    # Whisper tower FFN shards through the same layer rules.
+    audio_tree = p["modalities"]["audio"]
+    flat = {"/".join(str(getattr(k, "key", k)) for k in path): leaf
+            for path, leaf in jax.tree_util.tree_flatten_with_path(audio_tree)[0]}
+    fc1_keys = [k for k in flat if k.endswith("layers/fc1")]
+    assert fc1_keys, f"no whisper fc1 leaf found in {list(flat)[:10]}"
+    assert _is_sharded(flat[fc1_keys[0]])
+
+    # A second step still works (donated/sharded state round-trips).
+    metrics2 = trainer.train_step(batch)
+    assert np.isfinite(float(metrics2["loss"]))
