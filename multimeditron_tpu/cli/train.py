@@ -128,6 +128,7 @@ def train(ctx, config: str, seed: int = 0, resume: bool = False):
         seed=seed,
         num_workers=ta.get("dataloader_num_workers", 2),
         num_epochs=None,  # trainer stops at total_steps
+        worker_mode=ta.get("dataloader_worker_mode", "thread"),
     )
 
     logger.info(

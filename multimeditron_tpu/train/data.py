@@ -3,9 +3,16 @@
 Replaces the reference's HF-Trainer DataLoader plumbing
 (``cli/train.py:46-68`` dataset concatenation + shuffle; 16 workers per
 process feeding the collator, SURVEY.md §3.1): datasets are concatenated
-and shuffled, then a background thread pool runs the (numpy) collator so
+and shuffled, then a background worker pool runs the (numpy) collator so
 host preprocessing overlaps device steps — the TPU input-pipeline
-equivalent of dataloader workers.
+equivalent of dataloader workers. ``worker_mode="process"`` matches the
+reference's worker PROCESSES for GIL-bound collation (tokenizer/numpy
+label masking; PIL releases the GIL for decode/resize but not for
+array conversion): the pool spawns workers that each hold a pickled
+collator (initializer) and ship collated batches back. Batches are
+~20 MB of pixel data, so process mode only wins when collation cost
+exceeds pickle cost — benchmark with ``benchmarks/collator_bench.py``
+on the target host and keep ``thread`` (the default) otherwise.
 """
 
 from __future__ import annotations
@@ -75,6 +82,7 @@ class DataLoader:
         skip_errors: bool = True,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        worker_mode: str = "thread",
     ):
         self.dataset = dataset
         self.collator = collator
@@ -83,6 +91,9 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode must be thread|process, got {worker_mode!r}")
+        self.worker_mode = worker_mode
         self.num_epochs = num_epochs
         # Input-fault tolerance: a batch whose collation raises (corrupt
         # image, malformed sample) is logged and skipped instead of killing
@@ -137,14 +148,45 @@ class DataLoader:
             logger.exception("Skipping batch that failed to collate")
             return None
 
+    def _make_pool(self):
+        if self.worker_mode == "process":
+            try:
+                # spawn, not fork: the parent typically holds live JAX/XLA
+                # threads and fork() of a multithreaded process can deadlock
+                # the children. spawn requires the collator to pickle, which
+                # the fallback below already guards.
+                import multiprocessing as mp
+                import pickle
+
+                # spawn pickles initargs lazily (at first worker start), so
+                # probe picklability NOW to keep the fallback eager.
+                pickle.dumps(self.collator)
+                pool = cf.ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=mp.get_context("spawn"),
+                    initializer=_proc_worker_init,
+                    initargs=(self.collator,),
+                )
+                return pool, _proc_worker_collate
+            except Exception:
+                logger.exception(
+                    "Process pool unavailable (unpicklable collator?); "
+                    "falling back to threads"
+                )
+        return (
+            cf.ThreadPoolExecutor(max_workers=self.num_workers),
+            self.collator,
+        )
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         epoch = 0
-        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        pool, fn = self._make_pool()
+        with pool:
             while self.num_epochs is None or epoch < self.num_epochs:
                 pending = []
                 for idx in self._index_batches(epoch):
                     samples = [self.dataset[int(i)] for i in idx]
-                    pending.append(pool.submit(self.collator, samples))
+                    pending.append(pool.submit(fn, samples))
                     # keep a bounded pipeline
                     while len(pending) > self.num_workers:
                         batch = self._result(pending.pop(0))
@@ -155,6 +197,18 @@ class DataLoader:
                     if batch is not None:
                         yield batch
                 epoch += 1
+
+
+_WORKER_COLLATOR = None
+
+
+def _proc_worker_init(collator) -> None:
+    global _WORKER_COLLATOR
+    _WORKER_COLLATOR = collator
+
+
+def _proc_worker_collate(samples):
+    return _WORKER_COLLATOR(samples)
 
 
 def globalize_mm_pack(

@@ -107,6 +107,24 @@ def test_cli_train_smoke(workdir):
     assert (out_dir / "ckpt").exists()
 
 
+def test_cli_train_process_workers(workdir):
+    # same smoke, but collation runs in spawned worker processes
+    # (training_args.dataloader_worker_mode: the reference's num_workers
+    # processes, cli/train.py:200-201 torchrun ranks each with 16 workers)
+    root, cfg_path, config = workdir
+    from multimeditron_tpu.cli import main_cli
+
+    result = CliRunner().invoke(
+        main_cli,
+        ["train", "-c", str(cfg_path),
+         "training_args.dataloader_worker_mode=process",
+         "training_args.max_steps=2"],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    metrics = [json.loads(l) for l in open(root / "out" / "metrics.jsonl")]
+    assert np.isfinite(metrics[-1]["loss"])
+
+
 def test_cli_train_resume(workdir):
     """--resume restores params/opt_state/step from the latest orbax
     checkpoint (reference resume_from_checkpoint parity)."""

@@ -51,3 +51,36 @@ def test_epochs_and_shuffle_determinism():
     list(DataLoader(data, collator2, batch_size=4, shuffle=True, seed=1,
                     num_epochs=2, num_workers=1))
     assert seen == seen2
+
+
+def _mark_collator(samples):
+    # module-level so it pickles for the process pool
+    return {"input_ids": np.array([[s["i"]] for s in samples], np.int32)}
+
+
+def test_process_worker_mode_matches_threads():
+    data = [{"i": i} for i in range(16)]
+    def run(mode):
+        loader = DataLoader(data, _mark_collator, batch_size=4, shuffle=True,
+                            seed=3, num_epochs=1, num_workers=2,
+                            worker_mode=mode)
+        return [b["input_ids"].ravel().tolist() for b in loader]
+    assert run("process") == run("thread")
+
+
+def test_process_mode_falls_back_on_unpicklable_collator():
+    data = [{"i": i} for i in range(8)]
+    seen = []
+
+    def closure_collator(samples):  # closures don't pickle -> fallback
+        seen.append(len(samples))
+        return {"input_ids": np.zeros((len(samples), 1), np.int32)}
+
+    loader = DataLoader(data, closure_collator, batch_size=4, shuffle=False,
+                        num_epochs=1, num_workers=2, worker_mode="process")
+    assert len(list(loader)) == 2
+
+
+def test_bad_worker_mode_rejected():
+    with pytest.raises(ValueError):
+        DataLoader([], _mark_collator, batch_size=1, worker_mode="fork")
