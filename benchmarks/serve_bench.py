@@ -23,6 +23,7 @@ def main():
     parser.add_argument("--prompt-len", type=int, default=512)
     parser.add_argument("--layers", type=int, default=16)
     parser.add_argument("--hidden", type=int, default=2048)
+    parser.add_argument("--kv-mode", choices=("paged", "slab"), default="paged")
     args = parser.parse_args()
 
     import jax
@@ -58,6 +59,7 @@ def main():
             max_new_tokens=args.new_tokens,
             prefill_buckets=(args.prompt_len,),
             temperature=0.7,
+            kv_mode=args.kv_mode,
         ),
     )
 

@@ -123,6 +123,29 @@ def init_kv_cache(
     }
 
 
+def init_paged_kv_cache(
+    cfg: LlamaConfig,
+    num_pages: int,
+    page_size: int,
+    pages_max: int,
+    batch: int,
+    dtype: Any = None,
+) -> Dict[str, jax.Array]:
+    """Paged KV pool + per-slot page tables (serving engine decode path).
+
+    Page 0 is reserved as the TRASH page: never allocated to a slot, it
+    absorbs writes for padded positions so scatter shapes stay static.
+    """
+    Dh = cfg.head_dim_
+    dtype = dtype or cfg.dtype
+    return {
+        "k": jnp.zeros((cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, Dh), dtype),
+        "v": jnp.zeros((cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, Dh), dtype),
+        "page_table": jnp.zeros((batch, pages_max), jnp.int32),
+        "length": jnp.zeros((batch,), jnp.int32),
+    }
+
+
 def _layer(
     carry: Tuple[jax.Array, ...],
     layer_params: Params,
@@ -130,6 +153,8 @@ def _layer(
     cfg: LlamaConfig,
     attn_impl: Optional[str],
     prefill: bool = False,
+    page_table: Optional[jax.Array] = None,
+    page_size: Optional[int] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     x, position_ids, attention_mask, cache_lengths, inv_freq = carry
     B, S, D = x.shape
@@ -150,7 +175,30 @@ def _layer(
     k = apply_rope(k, position_ids, inv_freq)
 
     new_cache = None
-    if layer_cache is not None:
+    if layer_cache is not None and page_table is not None:
+        # Paged decode (serving engine): single-token step against a shared
+        # page pool. Write this step's K/V into the slot's current page at
+        # (length // P, length % P), then attend over the slot's page-table
+        # pages via the paged attention kernel (no slab materialization).
+        assert S == 1, f"paged decode supports single-token steps, got S={S}"
+        from multimeditron_tpu.ops.paged_attention import paged_attention
+
+        cache_k, cache_v = layer_cache["k"], layer_cache["v"]  # (Hkv,np,P,Dh)
+        P = page_size
+        b_idx = jnp.arange(B)
+        page_idx = page_table[b_idx, cache_lengths // P]       # (B,)
+        off = cache_lengths % P
+        k_new = k[:, :, 0, :].astype(cache_k.dtype)            # (B,Hkv,Dh)
+        v_new = v[:, :, 0, :].astype(cache_v.dtype)
+        # adjacent advanced indices at axes 1,2 -> result (Hkv, B, Dh)
+        cache_k = cache_k.at[:, page_idx, off, :].set(k_new.transpose(1, 0, 2))
+        cache_v = cache_v.at[:, page_idx, off, :].set(v_new.transpose(1, 0, 2))
+        out = paged_attention(
+            q[:, :, 0, :], cache_k, cache_v, page_table, cache_lengths + 1,
+            impl=attn_impl,
+        )[:, :, None, :]
+        new_cache = {"k": cache_k, "v": cache_v}
+    elif layer_cache is not None:
         # Write this step's K/V at each sample's current length, then attend
         # over the whole (masked) cache. Decode path: S is 1 (or a small
         # speculative block); cache length advances by S.
@@ -202,8 +250,13 @@ def llama_forward(
     attn_impl: Optional[str] = None,
     remat: bool = False,
     prefill: bool = False,
+    page_size: Optional[int] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
-    """Run the decoder. Returns (logits, updated_kv_cache_or_None)."""
+    """Run the decoder. Returns (logits, updated_kv_cache_or_None).
+
+    A ``kv_cache`` carrying a ``page_table`` runs the PAGED decode path
+    (``page_size`` must then be passed as a STATIC int — it shapes the
+    Pallas grid and must not be a traced leaf of the cache pytree)."""
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids)
     x = inputs_embeds
@@ -221,12 +274,15 @@ def llama_forward(
     inv_freq = rope_frequencies(cfg.head_dim_, cfg.rope_theta, cfg.rope_scaling)
     cache_lengths = kv_cache["length"] if kv_cache is not None else None
     carry_consts = (position_ids, attention_mask, cache_lengths, inv_freq)
+    page_table = kv_cache.get("page_table") if kv_cache is not None else None
+    if page_table is not None and page_size is None:
+        raise ValueError("paged kv_cache requires a static page_size argument")
 
     def scan_body(x, layer_inputs):
         layer_params, layer_cache = layer_inputs
         x, new_cache = _layer(
             (x, *carry_consts), layer_params, layer_cache, cfg, attn_impl,
-            prefill=prefill,
+            prefill=prefill, page_table=page_table, page_size=page_size,
         )
         return x, new_cache
 
@@ -252,6 +308,8 @@ def llama_forward(
             "v": new_caches["v"],
             "length": kv_cache["length"] + S,
         }
+        if page_table is not None:
+            new_kv_cache["page_table"] = page_table
     return logits, new_kv_cache
 
 

@@ -28,7 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimeditron_tpu.models.llama import init_kv_cache, llama_forward
+from multimeditron_tpu.models.llama import (
+    init_kv_cache,
+    init_paged_kv_cache,
+    llama_forward,
+)
 from multimeditron_tpu.models.multimodal import MultimodalModel
 
 
@@ -47,6 +51,17 @@ class EngineConfig:
     # Raise on high-dispatch-latency links; admission happens between
     # chunks, so it also bounds added queueing latency.
     decode_chunk: int = 8
+    # KV cache layout. "paged": global page pool + per-slot page tables
+    # (sglang parity, SURVEY §2.3) — memory scales with TOKENS IN FLIGHT
+    # (prompt + budget per request) instead of slots*max_seq_len, decode
+    # attention reads only the pages a slot uses (Pallas kernel on TPU),
+    # and requests queue when the pool is exhausted instead of OOMing.
+    # "slab": contiguous per-slot buffers of max_seq_len.
+    kv_mode: str = "paged"
+    page_size: int = 128
+    # Pool pages (incl. the reserved trash page 0). Default sizes the pool
+    # to the slab capacity; set lower to cap KV memory.
+    num_pages: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -79,7 +94,29 @@ class ServingEngine:
         llm = model.config.llm
         self.eos_id = model.config.eos_token_idx
 
-        self.cache = init_kv_cache(llm, cfg.max_slots, cfg.max_seq_len)
+        if cfg.kv_mode not in ("paged", "slab"):
+            raise ValueError(f"kv_mode must be paged|slab, got {cfg.kv_mode!r}")
+        self.paged = cfg.kv_mode == "paged"
+        if self.paged:
+            P = cfg.page_size
+            for b in cfg.prefill_buckets:
+                if b >= P and b % P != 0:
+                    raise ValueError(
+                        f"prefill bucket {b} must divide into pages of {P}"
+                    )
+            self.page_size = P
+            self.pages_max = -(-cfg.max_seq_len // P)
+            n_pages = cfg.num_pages or (1 + cfg.max_slots * self.pages_max)
+            self.cache = init_paged_kv_cache(
+                llm, n_pages, P, self.pages_max, cfg.max_slots
+            )
+            self.num_pages = n_pages
+            # host-side allocator state; page 0 = trash (never allocated)
+            self.page_table = np.zeros((cfg.max_slots, self.pages_max), np.int32)
+            self.free_pages: List[int] = list(range(n_pages - 1, 0, -1))
+            self.slot_num_pages = np.zeros((cfg.max_slots,), np.int32)
+        else:
+            self.cache = init_kv_cache(llm, cfg.max_slots, cfg.max_seq_len)
         self.lengths = np.zeros((cfg.max_slots,), np.int32)
         self.slot_request: List[Optional[Request]] = [None] * cfg.max_slots
         self.slot_budget = np.zeros((cfg.max_slots,), np.int32)
@@ -104,6 +141,41 @@ class ServingEngine:
         # being force-finished with budgeted tokens unwritten.
         self._decode_fns: Dict[int, Callable] = {}
         self._decode_fn = self._get_decode_fn(self.decode_chunk)
+
+    # ------------------------------------------------------------------
+    # Page allocator (paged kv_mode)
+    # ------------------------------------------------------------------
+    def _required_pages(self, req: Request) -> int:
+        """Pages to reserve: prompt + full decode budget (so the decode
+        loop never needs host-side allocation; writes past the
+        reservation land on the trash page and are discarded)."""
+        plen = int(np.asarray(req.batch["attention_mask"]).sum())
+        total = min(plen + req.max_new_tokens, self.cfg.max_seq_len)
+        return -(-total // self.page_size)
+
+    def _reserve_pages(self, req: Request, slot: int) -> None:
+        need = self._required_pages(req)
+        ids = [self.free_pages.pop() for _ in range(need)]
+        self.page_table[slot, :] = 0
+        self.page_table[slot, :need] = ids
+        self.slot_num_pages[slot] = need
+
+    def _release_pages(self, slot: int) -> None:
+        used = int(self.slot_num_pages[slot])
+        if used:
+            self.free_pages.extend(int(p) for p in self.page_table[slot, :used])
+        self.page_table[slot, :] = 0
+        self.slot_num_pages[slot] = 0
+
+    def _bucket_page_ids(self, slots: List[int], bucket: int) -> np.ndarray:
+        """Pool page ids receiving each request's bucket-shaped prefill KV.
+        Bucket pages beyond a slot's reservation map to the trash page."""
+        bp = max(1, bucket // self.page_size)
+        ids = np.zeros((len(slots) * bp,), np.int32)
+        for j, slot in enumerate(slots):
+            used = int(self.slot_num_pages[slot])
+            ids[j * bp : j * bp + min(bp, used)] = self.page_table[slot, :min(bp, used)]
+        return ids
 
     # ------------------------------------------------------------------
     # Compiled functions
@@ -131,13 +203,17 @@ class ServingEngine:
     def _build_prefill_fn(self, bucket: int, n: int = 1) -> Callable:
         model, cfg = self.model, self.cfg
         llm = model.config.llm
+        paged = self.paged
+        P = self.page_size if paged else 0
 
         sampler = self._make_sampler()
 
-        def prefill(params, cache, input_ids, attention_mask, mm_inputs, slots,
+        def prefill(params, cache, input_ids, attention_mask, mm_inputs, dest,
                     temps, seed):
             # Encode + splice + causal prefill of n requests into a fresh
-            # local cache, then copy each written region into its slot.
+            # local cache, then copy each written region into its slot
+            # (slab: contiguous copy at ``dest``=slot ids; paged: one
+            # scatter of bucket-shaped pages at ``dest``=pool page ids).
             embeds = model.embed(params, input_ids, mm_inputs)
             local = init_kv_cache(llm, n, bucket, dtype=cache["k"].dtype)
             logits, local = llama_forward(
@@ -150,17 +226,40 @@ class ServingEngine:
             )
             lengths = attention_mask.sum(axis=-1).astype(jnp.int32)
             k, v = cache["k"], cache["v"]
-            # A bucket can be wider than the slot cache (short-capacity
-            # engines); only the slot-width prefix is copied — the prompt
-            # itself is guaranteed < max_seq_len at submit time.
-            width = min(bucket, k.shape[3])
-            for j in range(n):  # static unroll
-                k = jax.lax.dynamic_update_slice(
-                    k, local["k"][:, j : j + 1, :, :width], (0, slots[j], 0, 0, 0)
-                )
-                v = jax.lax.dynamic_update_slice(
-                    v, local["v"][:, j : j + 1, :, :width], (0, slots[j], 0, 0, 0)
-                )
+            if paged:
+                L_, _, Hkv, _, Dh = local["k"].shape
+                if bucket >= P:
+                    bp = bucket // P
+
+                    def to_pages(a):
+                        a = a.reshape(L_, n, Hkv, bp, P, Dh)
+                        return a.transpose(0, 2, 1, 3, 4, 5).reshape(
+                            L_, Hkv, n * bp, P, Dh
+                        )
+
+                    k = k.at[:, :, dest].set(to_pages(local["k"]))
+                    v = v.at[:, :, dest].set(to_pages(local["v"]))
+                else:
+                    # bucket smaller than a page: write the first ``bucket``
+                    # rows of each request's first page
+                    k = k.at[:, :, dest, :bucket, :].set(
+                        local["k"].transpose(0, 2, 1, 3, 4)
+                    )
+                    v = v.at[:, :, dest, :bucket, :].set(
+                        local["v"].transpose(0, 2, 1, 3, 4)
+                    )
+            else:
+                # A bucket can be wider than the slot cache (short-capacity
+                # engines); only the slot-width prefix is copied — the prompt
+                # itself is guaranteed < max_seq_len at submit time.
+                width = min(bucket, k.shape[3])
+                for j in range(n):  # static unroll
+                    k = jax.lax.dynamic_update_slice(
+                        k, local["k"][:, j : j + 1, :, :width], (0, dest[j], 0, 0, 0)
+                    )
+                    v = jax.lax.dynamic_update_slice(
+                        v, local["v"][:, j : j + 1, :, :width], (0, dest[j], 0, 0, 0)
+                    )
             last_logits = jnp.take_along_axis(
                 logits, (lengths - 1)[:, None, None], axis=1
             )[:, 0]
@@ -185,6 +284,8 @@ class ServingEngine:
         eos = self.eos_id
         chunk = chunk or self.decode_chunk
 
+        page_size = self.page_size if self.paged else None
+
         def one_step(params, cache, tokens, active, temps, key):
             embeds = jnp.take(params["llm"]["embed_tokens"], tokens, axis=0)[:, None, :]
             logits, new_cache = llama_forward(
@@ -192,6 +293,7 @@ class ServingEngine:
                 inputs_embeds=embeds,
                 kv_cache=cache,
                 attn_impl=cfg.attn_impl,
+                page_size=page_size,
             )
             logits = logits[:, 0].astype(jnp.float32)
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -249,6 +351,12 @@ class ServingEngine:
             temperature=self.cfg.temperature if temperature is None else temperature,
             submit_time=time.time(),
         )
+        if self.paged and self._required_pages(req) > self.num_pages - 1:
+            raise ValueError(
+                f"request needs {self._required_pages(req)} KV pages but the "
+                f"pool only has {self.num_pages - 1}; raise num_pages or "
+                f"lower max_new_tokens"
+            )
         self._next_id += 1
         self.queue.append(req)
         return req
@@ -298,6 +406,11 @@ class ServingEngine:
             # Prompts longer than the largest bucket prefill in bucket-sized
             # chunks into their slot (no grouping; rare long prompts).
             head = self.queue[0]
+            if self.paged and self._required_pages(head) > len(self.free_pages):
+                # pool exhausted: requests WAIT for pages (sglang-style
+                # admission control) instead of evicting or OOMing. FIFO:
+                # don't let later, smaller requests starve the head.
+                break
             if self._bucket_for(head.batch["input_ids"].shape[1]) is None:
                 self.queue.remove(head)
                 self._prefill_chunked(head, free.pop(0))
@@ -314,6 +427,19 @@ class ServingEngine:
             # batched-prefill variants stays logarithmic.
             cap = 1 << (len(group).bit_length() - 1)
             group = group[:cap]
+            if self.paged:
+                # shrink the group to what the free pool can host
+                budget = len(self.free_pages)
+                fits = 0
+                for r in group:
+                    need = self._required_pages(r)
+                    if need > budget:
+                        break
+                    budget -= need
+                    fits += 1
+                if fits == 0:
+                    break
+                group = group[:fits]
             # FIFO within the admissible window; mixed signatures prefill
             # in consecutive groups.
             for r in group:
@@ -359,11 +485,17 @@ class ServingEngine:
         if key not in self._prefill_fns:
             self._prefill_fns[key] = self._build_prefill_fn(bucket, n)
         temps = np.asarray([r.temperature for r in group], np.float32)
+        if self.paged:
+            for req, slot in zip(group, slots):
+                self._reserve_pages(req, slot)
+            dest = self._bucket_page_ids(slots, bucket)
+        else:
+            dest = np.asarray(slots, np.int32)
         k, v, lengths, first_tokens = self._prefill_fns[key](
             self.params,
             {"k": self.cache["k"], "v": self.cache["v"]},
             jnp.asarray(input_ids), jnp.asarray(mask), mm,
-            jnp.asarray(np.asarray(slots, np.int32)),
+            jnp.asarray(dest),
             jnp.asarray(temps), self._next_seed(),
         )
         self.cache = {"k": k, "v": v, "length": self.cache["length"]}
@@ -391,17 +523,33 @@ class ServingEngine:
     def _build_chunk_prefill_fn(self, bucket: int) -> Callable:
         """Prefill ONE chunk of a long prompt into a slot's cache at
         ``start_len`` (sglang-style chunked prefill: prompts beyond the
-        largest bucket no longer raise, SURVEY §2.3 parity item)."""
+        largest bucket no longer raise, SURVEY §2.3 parity item).
+
+        Paged mode gathers the slot's pages into a contiguous slab (the
+        chunk must attend over earlier chunks' KV), prefills into it, and
+        scatters all pages back — O(max_seq_len) extra traffic per chunk,
+        paid only by rare beyond-largest-bucket prompts."""
         model, cfg = self.model, self.cfg
         llm = model.config.llm
+        paged = self.paged
 
         sampler = self._make_sampler()
 
         def chunk_prefill(params, cache, input_ids, attention_mask,
-                          mm_inputs, slot, start_len, temps, seed):
+                          mm_inputs, dest, start_len, temps, seed):
             embeds = model.embed(params, input_ids, mm_inputs)
-            k_slot = jax.lax.dynamic_slice_in_dim(cache["k"], slot, 1, axis=1)
-            v_slot = jax.lax.dynamic_slice_in_dim(cache["v"], slot, 1, axis=1)
+            if paged:
+                P, pm = self.page_size, self.pages_max
+                # dest: (pm,) pool page ids of this slot
+                k_slot = jnp.take(cache["k"], dest, axis=2)  # (L,Hkv,pm,P,Dh)
+                v_slot = jnp.take(cache["v"], dest, axis=2)
+                L_, Hkv, _, _, Dh = k_slot.shape
+                k_slot = k_slot.reshape(L_, Hkv, pm * P, Dh)[:, None]
+                v_slot = v_slot.reshape(L_, Hkv, pm * P, Dh)[:, None]
+            else:
+                # dest: scalar slot id
+                k_slot = jax.lax.dynamic_slice_in_dim(cache["k"], dest, 1, axis=1)
+                v_slot = jax.lax.dynamic_slice_in_dim(cache["v"], dest, 1, axis=1)
             slot_cache = {"k": k_slot, "v": v_slot,
                           "length": start_len[None]}
             logits, slot_cache = llama_forward(
@@ -412,10 +560,16 @@ class ServingEngine:
                 prefill=True,
                 attn_impl=cfg.attn_impl,
             )
-            k = jax.lax.dynamic_update_slice(
-                cache["k"], slot_cache["k"], (0, slot, 0, 0, 0))
-            v = jax.lax.dynamic_update_slice(
-                cache["v"], slot_cache["v"], (0, slot, 0, 0, 0))
+            if paged:
+                back_k = slot_cache["k"][:, 0].reshape(L_, Hkv, pm, P, Dh)
+                back_v = slot_cache["v"][:, 0].reshape(L_, Hkv, pm, P, Dh)
+                k = cache["k"].at[:, :, dest].set(back_k)
+                v = cache["v"].at[:, :, dest].set(back_v)
+            else:
+                k = jax.lax.dynamic_update_slice(
+                    cache["k"], slot_cache["k"], (0, dest, 0, 0, 0))
+                v = jax.lax.dynamic_update_slice(
+                    cache["v"], slot_cache["v"], (0, dest, 0, 0, 0))
             chunk_len = attention_mask.sum(axis=-1).astype(jnp.int32)
             last = jnp.take_along_axis(
                 logits, (chunk_len - 1)[:, None, None], axis=1)[:, 0]
@@ -454,6 +608,9 @@ class ServingEngine:
         mm = req.batch.get("mm_inputs") or {}
         mm_sig = self._request_signature(req)[1]
 
+        if self.paged:
+            self._reserve_pages(req, slot)
+            dest = jnp.asarray(self.page_table[slot].astype(np.int32))
         start = 0
         first_token = None
         temps = np.asarray([req.temperature], np.float32)
@@ -472,7 +629,7 @@ class ServingEngine:
                 {"k": self.cache["k"], "v": self.cache["v"]},
                 jnp.asarray(chunk_ids), jnp.asarray(chunk_mask),
                 self._chunk_mm(mm, start, c, bucket),
-                jnp.int32(slot), jnp.int32(start),
+                dest if self.paged else jnp.int32(slot), jnp.int32(start),
                 jnp.asarray(temps), self._next_seed(),
             )
             self.cache = {"k": k, "v": v, "length": self.cache["length"]}
@@ -499,6 +656,8 @@ class ServingEngine:
         return np.int32((self.cfg.seed + 0x9E3779B1 * self._seed_ctr) & 0x7FFFFFFF)
 
     def _finish(self, slot: int, reason: str = "budget") -> None:
+        if self.paged:
+            self._release_pages(slot)
         req = self.slot_request[slot]
         if req is not None:
             req.done = True
@@ -539,6 +698,8 @@ class ServingEngine:
             "v": self.cache["v"],
             "length": jnp.asarray(self.lengths),
         }
+        if self.paged:
+            cache["page_table"] = jnp.asarray(self.page_table)
         active_at_start = self.active.copy()
         cache, _, _, toks = decode_fn(
             self.params,

@@ -1,0 +1,107 @@
+"""Paged KV engine: token parity with the slab engine, page accounting,
+pool-exhaustion admission control, and chunked prefill through pages."""
+
+import jax
+import numpy as np
+import pytest
+
+from multimeditron_tpu.data.chat_template import ChatTemplate
+from multimeditron_tpu.data.collator import DataCollatorForMultimodal
+from multimeditron_tpu.data.loaders import AutoModalityLoader
+from multimeditron_tpu.models.multimodal import MultimodalModel
+from multimeditron_tpu.serve.engine import EngineConfig, ServingEngine
+from tests.fixtures.toy_tokenizer import ToyTokenizer
+from tests.test_multimodal import ATTACH, _img, tiny_mm_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MultimodalModel(tiny_mm_config())
+    model.config.eos_token_idx = 2
+    params = model.init_params(jax.random.PRNGKey(0))
+    collator = DataCollatorForMultimodal(
+        tokenizer=ToyTokenizer(),
+        modality_processors=model.processors(),
+        modality_loaders={"image": AutoModalityLoader.create("raw-image")},
+        attachment_token=ATTACH,
+        chat_template=ChatTemplate.llama(),
+        add_generation_prompt=True,
+        pad_to_multiple=8,
+    )
+    return model, params, collator
+
+
+PROMPTS = [
+    {"conversations": [{"role": "user", "content": "tell me a story"}],
+     "modalities": []},
+    {"conversations": [{"role": "user", "content": f"what is {ATTACH} showing"}],
+     "modalities": [{"type": "image", "value": _img((10, 200, 30))}]},
+    {"conversations": [{"role": "user", "content": "a much longer prompt with "
+                        "many repeated words words words words words words"}],
+     "modalities": []},
+]
+
+
+def _engine(model, params, kv_mode, **kw):
+    base = dict(max_slots=2, max_seq_len=128, max_new_tokens=8,
+                prefill_buckets=(32, 64), do_sample=False, kv_mode=kv_mode,
+                page_size=16)
+    base.update(kw)
+    return ServingEngine(model, params, EngineConfig(**base))
+
+
+def test_paged_matches_slab_greedy(setup):
+    model, params, collator = setup
+    batches = [collator([p]) for p in PROMPTS]
+    out_slab = _engine(model, params, "slab").generate(batches, max_new_tokens=8)
+    out_paged = _engine(model, params, "paged").generate(batches, max_new_tokens=8)
+    assert out_slab == out_paged
+
+
+def test_pages_released_after_run(setup):
+    model, params, collator = setup
+    eng = _engine(model, params, "paged")
+    total_free = len(eng.free_pages)
+    eng.generate([collator([p]) for p in PROMPTS], max_new_tokens=6)
+    assert len(eng.free_pages) == total_free
+    assert np.all(eng.page_table == 0)
+    assert np.all(eng.slot_num_pages == 0)
+    assert sorted(eng.free_pages) == list(range(1, eng.num_pages))
+
+
+def test_pool_exhaustion_queues_requests(setup):
+    model, params, collator = setup
+    # pool with room for ~one request at a time: each needs
+    # ceil((plen + 8)/16) pages; give the pool 3 pages
+    eng = _engine(model, params, "paged", num_pages=4, max_slots=2)
+    batches = [collator([p]) for p in PROMPTS]
+    reqs = [eng.submit(b, max_new_tokens=8) for b in batches]
+    # first step: only what fits is admitted; the rest queue
+    eng.step()
+    assert len(eng.queue) >= 1
+    eng.run()
+    assert all(r.done for r in reqs)
+    assert sorted(eng.free_pages) == list(range(1, eng.num_pages))
+    # and the tokens still match the slab engine's
+    want = _engine(model, params, "slab").generate(batches, max_new_tokens=8)
+    assert [r.tokens for r in reqs] == want
+
+
+def test_oversized_request_rejected(setup):
+    model, params, collator = setup
+    eng = _engine(model, params, "paged", num_pages=2)
+    with pytest.raises(ValueError, match="KV pages"):
+        eng.submit(collator([PROMPTS[0]]), max_new_tokens=100)
+
+
+def test_chunked_prefill_through_pages(setup):
+    model, params, collator = setup
+    # prompt longer than the largest bucket -> chunked prefill path
+    long_prompt = {"conversations": [
+        {"role": "user", "content": "repeat " * 90}], "modalities": []}
+    batch = collator([long_prompt])
+    assert batch["input_ids"].shape[1] > 64
+    kw = dict(max_seq_len=256, prefill_buckets=(32, 64))
+    out_slab = _engine(model, params, "slab", **kw).generate([batch], max_new_tokens=6)
+    out_paged = _engine(model, params, "paged", **kw).generate([batch], max_new_tokens=6)
+    assert out_slab == out_paged
