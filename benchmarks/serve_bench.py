@@ -24,6 +24,7 @@ def main():
     parser.add_argument("--layers", type=int, default=16)
     parser.add_argument("--hidden", type=int, default=2048)
     parser.add_argument("--kv-mode", choices=("paged", "slab"), default="paged")
+    parser.add_argument("--decode-chunk", type=int, default=8)
     args = parser.parse_args()
 
     import jax
@@ -60,6 +61,7 @@ def main():
             prefill_buckets=(args.prompt_len,),
             temperature=0.7,
             kv_mode=args.kv_mode,
+            decode_chunk=args.decode_chunk,
         ),
     )
 

@@ -129,19 +129,31 @@ def init_paged_kv_cache(
     page_size: int,
     pages_max: int,
     batch: int,
+    ring_size: int = 8,
     dtype: Any = None,
 ) -> Dict[str, jax.Array]:
     """Paged KV pool + per-slot page tables (serving engine decode path).
 
     Page 0 is reserved as the TRASH page: never allocated to a slot, it
     absorbs writes for padded positions so scatter shapes stay static.
-    """
+    ``ring_k/ring_v`` hold the tokens generated within the CURRENT decode
+    chunk (``ring_size`` >= the engine's decode_chunk); ``pages_length``
+    records how many tokens per slot are covered by the pages (the rest
+    live in the ring until the engine folds them between chunks)."""
     Dh = cfg.head_dim_
     dtype = dtype or cfg.dtype
+    L, Hkv = cfg.num_layers, cfg.num_kv_heads
+    # round the ring up to the bf16 sublane tile (16 rows): degenerate
+    # second-minor extents lower poorly in Mosaic, and the mask already
+    # ignores rows past the chunk
+    ring_size = max(16, -(-ring_size // 16) * 16)
     return {
-        "k": jnp.zeros((cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, Dh), dtype),
-        "v": jnp.zeros((cfg.num_layers, cfg.num_kv_heads, num_pages, page_size, Dh), dtype),
+        "k": jnp.zeros((L, Hkv, num_pages, page_size, Dh), dtype),
+        "v": jnp.zeros((L, Hkv, num_pages, page_size, Dh), dtype),
+        "ring_k": jnp.zeros((L, batch, Hkv, ring_size, Dh), dtype),
+        "ring_v": jnp.zeros((L, batch, Hkv, ring_size, Dh), dtype),
         "page_table": jnp.zeros((batch, pages_max), jnp.int32),
+        "pages_length": jnp.zeros((batch,), jnp.int32),
         "length": jnp.zeros((batch,), jnp.int32),
     }
 
@@ -155,7 +167,12 @@ def _layer(
     prefill: bool = False,
     page_table: Optional[jax.Array] = None,
     page_size: Optional[int] = None,
+    layer_index: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
+    """One decoder layer. When a cache is present, ``layer_cache`` holds
+    the FULL stacked-over-layers cache arrays (scan carry — updated in
+    place inside the while loop) and ``layer_index`` selects this layer's
+    slice; without a cache the caller passes per-layer params only."""
     x, position_ids, attention_mask, cache_lengths, inv_freq = carry
     B, S, D = x.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
@@ -176,42 +193,57 @@ def _layer(
 
     new_cache = None
     if layer_cache is not None and page_table is not None:
-        # Paged decode (serving engine): single-token step against a shared
-        # page pool. Write this step's K/V into the slot's current page at
-        # (length // P, length % P), then attend over the slot's page-table
-        # pages via the paged attention kernel (no slab materialization).
+        # Paged decode (serving engine): single-token step against a page
+        # pool stacked over layers (L, Hkv, n_pages, P, Dh). Pages are
+        # READ-ONLY within a decode chunk; this step's K/V row goes into
+        # the small per-chunk RING buffer at row ``t`` (uniform in-chunk
+        # step index) — a dynamic-update-slice XLA keeps in place inside
+        # the while loop. The Pallas kernel attends over pages + ring.
+        # The engine folds the ring into the pages between chunks
+        # (ops.paged_attention.fold_ring_into_pages).
         assert S == 1, f"paged decode supports single-token steps, got S={S}"
-        from multimeditron_tpu.ops.paged_attention import paged_attention
+        from multimeditron_tpu.ops.paged_attention import ring_decode_attention
 
-        cache_k, cache_v = layer_cache["k"], layer_cache["v"]  # (Hkv,np,P,Dh)
-        P = page_size
-        b_idx = jnp.arange(B)
-        page_idx = page_table[b_idx, cache_lengths // P]       # (B,)
-        off = cache_lengths % P
-        k_new = k[:, :, 0, :].astype(cache_k.dtype)            # (B,Hkv,Dh)
-        v_new = v[:, :, 0, :].astype(cache_v.dtype)
-        # adjacent advanced indices at axes 1,2 -> result (Hkv, B, Dh)
-        cache_k = cache_k.at[:, page_idx, off, :].set(k_new.transpose(1, 0, 2))
-        cache_v = cache_v.at[:, page_idx, off, :].set(v_new.transpose(1, 0, 2))
-        out = paged_attention(
-            q[:, :, 0, :], cache_k, cache_v, page_table, cache_lengths + 1,
+        pages_len = layer_cache["pages_length"]
+        rk, rv = layer_cache["ring_k"], layer_cache["ring_v"]
+        # in-chunk row: active slots all advanced identically since the
+        # chunk started, so the max generation offset IS the step index
+        t = jnp.max(cache_lengths - pages_len)
+        # k/v: (B, Hkv, S=1, Dh) -> update block (1, B, Hkv, 1, Dh)
+        rk = jax.lax.dynamic_update_slice(
+            rk, k.astype(rk.dtype)[None], (layer_index, 0, 0, t, 0),
+        )
+        rv = jax.lax.dynamic_update_slice(
+            rv, v.astype(rv.dtype)[None], (layer_index, 0, 0, t, 0),
+        )
+        out = ring_decode_attention(
+            q[:, :, 0, :], layer_cache["k"], layer_cache["v"], rk, rv,
+            page_table, pages_len, cache_lengths, layer_index,
             impl=attn_impl,
-        )[:, :, None, :]
-        new_cache = {"k": cache_k, "v": cache_v}
+        )
+        out = out[:, :, None, :]
+        new_cache = {"k": layer_cache["k"], "v": layer_cache["v"],
+                     "ring_k": rk, "ring_v": rv}
     elif layer_cache is not None:
         # Write this step's K/V at each sample's current length, then attend
         # over the whole (masked) cache. Decode path: S is 1 (or a small
-        # speculative block); cache length advances by S.
-        cache_k, cache_v = layer_cache["k"], layer_cache["v"]
-        max_len = cache_k.shape[2]
+        # speculative block); cache length advances by S. The stacked cache
+        # (L, B, Hkv, max, Dh) rides the scan carry: the scatter below
+        # updates it in place inside the while loop (no per-step ys copy).
+        ck_all, cv_all = layer_cache["k"], layer_cache["v"]
+        max_len = ck_all.shape[3]
         pos = cache_lengths[:, None] + jnp.arange(S)[None, :]  # (B,S)
         b_idx = jnp.arange(B)[:, None]
-        cache_k = cache_k.at[b_idx, :, pos, :].set(
-            k.transpose(0, 2, 1, 3).astype(cache_k.dtype)
+        ck_all = ck_all.at[layer_index, b_idx, :, pos, :].set(
+            k.transpose(0, 2, 1, 3).astype(ck_all.dtype)
         )
-        cache_v = cache_v.at[b_idx, :, pos, :].set(
-            v.transpose(0, 2, 1, 3).astype(cache_v.dtype)
+        cv_all = cv_all.at[layer_index, b_idx, :, pos, :].set(
+            v.transpose(0, 2, 1, 3).astype(cv_all.dtype)
         )
+        cache_k = jax.lax.dynamic_index_in_dim(ck_all, layer_index, 0,
+                                               keepdims=False)
+        cache_v = jax.lax.dynamic_index_in_dim(cv_all, layer_index, 0,
+                                               keepdims=False)
         kv_mask = (
             jnp.arange(max_len)[None, :] < (cache_lengths + S)[:, None]
         ).astype(jnp.int32)
@@ -224,7 +256,7 @@ def _layer(
             causal=prefill, causal_offset=cache_lengths if prefill else None,
             impl=attn_impl,
         )
-        new_cache = {"k": cache_k, "v": cache_v}
+        new_cache = {"k": ck_all, "v": cv_all}
     else:
         kv_mask = attention_mask
         out = attention(q, k, v, kv_mask=kv_mask, causal=True, impl=attn_impl)
@@ -278,22 +310,47 @@ def llama_forward(
     if page_table is not None and page_size is None:
         raise ValueError("paged kv_cache requires a static page_size argument")
 
-    def scan_body(x, layer_inputs):
-        layer_params, layer_cache = layer_inputs
-        x, new_cache = _layer(
-            (x, *carry_consts), layer_params, layer_cache, cfg, attn_impl,
-            prefill=prefill, page_table=page_table, page_size=page_size,
+    if kv_cache is None:
+        def scan_body(x, layer_params):
+            x, _ = _layer(
+                (x, *carry_consts), layer_params, None, cfg, attn_impl,
+                prefill=prefill,
+            )
+            return x, None
+
+        body = jax.checkpoint(scan_body) if remat else scan_body
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        new_caches = None
+    else:
+        # The stacked cache arrays ride the CARRY (not xs/ys): the while
+        # loop then aliases them in place across layers instead of
+        # materializing a fresh ys copy of the whole cache every step
+        # (measured ~2 ms/step on a 1B decode before this change).
+        cache_carry = {"k": kv_cache["k"], "v": kv_cache["v"]}
+        if page_table is not None:
+            cache_carry["ring_k"] = kv_cache["ring_k"]
+            cache_carry["ring_v"] = kv_cache["ring_v"]
+        pages_length = kv_cache.get("pages_length")
+
+        def cache_body(carry, layer_inputs):
+            x, cc = carry
+            layer_params, idx = layer_inputs
+            lc = dict(cc)
+            if pages_length is not None:
+                lc["pages_length"] = pages_length
+            x, new_lc = _layer(
+                (x, *carry_consts), layer_params, lc,
+                cfg, attn_impl, prefill=prefill, page_table=page_table,
+                page_size=page_size, layer_index=idx,
+            )
+            return (x, {key: new_lc[key] for key in cc}), None
+
+        (x, cache_carry), _ = jax.lax.scan(
+            cache_body,
+            (x, cache_carry),
+            (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
         )
-        return x, new_cache
-
-    body = jax.checkpoint(scan_body) if remat else scan_body
-
-    layer_caches = None
-    if kv_cache is not None:
-        layer_caches = {"k": kv_cache["k"], "v": kv_cache["v"]}
-    x, new_caches = jax.lax.scan(
-        body, x, (params["layers"], layer_caches)
-    )
+        new_caches = cache_carry
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
@@ -304,12 +361,12 @@ def llama_forward(
     new_kv_cache = None
     if kv_cache is not None:
         new_kv_cache = {
-            "k": new_caches["k"],
-            "v": new_caches["v"],
+            **new_caches,
             "length": kv_cache["length"] + S,
         }
         if page_table is not None:
             new_kv_cache["page_table"] = page_table
+            new_kv_cache["pages_length"] = kv_cache["pages_length"]
     return logits, new_kv_cache
 
 

@@ -242,3 +242,320 @@ def paged_attention(
             interpret=(impl == "pallas_interpret"),
         )
     raise ValueError(f"Unknown paged attention impl {impl!r}")
+
+
+# ======================================================================
+# Ring decode attention: paged prompt KV + contiguous decode-ring KV
+# ======================================================================
+#
+# Decode writes are the paged design's hard part on TPU: scattering one
+# KV row per slot per layer per step into the (8,128)-tiled page pool is
+# both a slow XLA lowering (measured ~1.4 ms/step on a 1B model) and not
+# expressible as a Mosaic DMA (sub-tile row writes). So the serving
+# engine splits the cache:
+#
+#   - PAGES hold tokens that existed at the start of the current decode
+#     chunk (prompt + previously folded tokens). During a chunk they are
+#     READ-ONLY.
+#   - A small RING buffer (L, B, Hkv, ring, D) holds the tokens generated
+#     within the current chunk. Every step writes row ``t`` (the in-chunk
+#     step index, uniform across slots) — a plain dynamic-update-slice
+#     that XLA keeps in place inside the decode while-loop.
+#   - At the END of each chunk the ring is FOLDED into the pages with one
+#     scatter (amortized over the chunk's steps).
+#
+# This kernel computes one step's attention over [pages, ring] per slot:
+#   q:          (B, H, D)
+#   k/v_pages:  (L_layers, Hkv, n_pages, P, D)  — HBM, manual page DMAs
+#   k/v_ring:   (L_layers, B, Hkv, ring, D)     — already contains this
+#               step's token at row ``g_b = lengths_b - pages_len_b``
+#   page_table: (B, pm) int32
+#   pages_len:  (B,) int32 — tokens covered by pages (chunk-start length)
+#   lengths:    (B,) int32 — tokens BEFORE this step's token
+#   layer_index: scalar int32
+# Valid keys per slot: pages positions < pages_len_b, ring rows
+# r <= lengths_b - pages_len_b. Slots with garbage state (finished /
+# inactive) produce garbage outputs the engine discards.
+
+
+def ring_decode_attention_xla(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    k_ring: jax.Array,
+    v_ring: jax.Array,
+    page_table: jax.Array,
+    pages_len: jax.Array,
+    lengths: jax.Array,
+    layer_index: jax.Array,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Gather-based reference: concat [gathered pages, ring] and attend."""
+    B, H, D = q.shape
+    _, Hkv, _, P, _ = k_pages.shape
+    pm = page_table.shape[1]
+    T = k_ring.shape[3]
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+
+    kl = jax.lax.dynamic_index_in_dim(k_pages, layer_index, 0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(v_pages, layer_index, 0, keepdims=False)
+    k = jnp.take(kl, page_table, axis=1).transpose(1, 0, 2, 3, 4)
+    v = jnp.take(vl, page_table, axis=1).transpose(1, 0, 2, 3, 4)
+    k = k.reshape(B, Hkv, pm * P, D)
+    v = v.reshape(B, Hkv, pm * P, D)
+    rk = jax.lax.dynamic_index_in_dim(k_ring, layer_index, 0, keepdims=False)
+    rv = jax.lax.dynamic_index_in_dim(v_ring, layer_index, 0, keepdims=False)
+    k = jnp.concatenate([k, rk.astype(k.dtype)], axis=2)
+    v = jnp.concatenate([v, rv.astype(v.dtype)], axis=2)
+
+    group = H // Hkv
+    if group > 1:
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+
+    page_mask = jnp.arange(pm * P)[None, :] < pages_len[:, None]
+    ring_mask = jnp.arange(T)[None, :] <= (lengths - pages_len)[:, None]
+    mask = jnp.concatenate([page_mask, ring_mask], axis=1)[:, None, :]
+
+    s = jnp.einsum("bhd,bhkd->bhk", q, k, preferred_element_type=jnp.float32)
+    s = jnp.where(mask, s * sm_scale, MASK_VALUE)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.where(mask, jnp.exp(s - m), 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhk,bhkd->bhd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    out = out / jnp.maximum(l, 1e-30)
+    return out.astype(q.dtype)
+
+
+def _ring_decode_kernel(
+    layer_ref, table_ref, plen_ref, len_ref,   # scalar prefetch (SMEM)
+    q_ref, rk_ref, rv_ref,                     # VMEM blocks (per slot)
+    kp_hbm, vp_hbm,                            # page pools (HBM)
+    o_ref,
+    k_buf, v_buf, copy_sems,                   # scratch
+    *, sm_scale, page_size, pages_max, group,
+):
+    b = pl.program_id(0)
+    B = pl.num_programs(0)
+    P, pm = page_size, pages_max
+    li = layer_ref[0]
+    Hkv = rk_ref.shape[2]
+
+    def start_slot_copies(slot, buf):
+        used = lax.min(pl.cdiv(plen_ref[slot], P), pm)
+        for j in range(pm):  # static unroll
+            @pl.when(j < used)
+            def _():
+                pid = table_ref[slot, j]
+                pltpu.make_async_copy(
+                    kp_hbm.at[li, :, pid],
+                    k_buf.at[buf, :, pl.ds(j * P, P), :],
+                    copy_sems.at[buf, j, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    vp_hbm.at[li, :, pid],
+                    v_buf.at[buf, :, pl.ds(j * P, P), :],
+                    copy_sems.at[buf, j, 1],
+                ).start()
+
+            # Uncopied pages: K garbage is masked before use, but the PV
+            # dot multiplies ~0 probabilities by RAW v_buf data — 0 * NaN
+            # would poison the row, so zero stale V pages.
+            @pl.when(j >= used)
+            def _zero():
+                v_buf[buf, :, j * P:(j + 1) * P, :] = jnp.zeros(
+                    (Hkv, P, v_buf.shape[3]), v_buf.dtype
+                )
+
+    def wait_slot_copies(slot, buf):
+        used = lax.min(pl.cdiv(plen_ref[slot], P), pm)
+        for j in range(pm):
+            @pl.when(j < used)
+            def _():
+                pltpu.make_async_copy(
+                    kp_hbm.at[li, :, table_ref[slot, j]],
+                    k_buf.at[buf, :, pl.ds(j * P, P), :],
+                    copy_sems.at[buf, j, 0],
+                ).wait()
+                pltpu.make_async_copy(
+                    vp_hbm.at[li, :, table_ref[slot, j]],
+                    v_buf.at[buf, :, pl.ds(j * P, P), :],
+                    copy_sems.at[buf, j, 1],
+                ).wait()
+
+    @pl.when(b == 0)
+    def _first():
+        start_slot_copies(0, 0)
+
+    @pl.when(b + 1 < B)
+    def _prefetch():
+        start_slot_copies(b + 1, (b + 1) % 2)
+
+    buf = b % 2
+    wait_slot_copies(b, buf)
+
+    plen = plen_ref[b]
+    g = len_ref[b] - plen          # ring rows strictly before this step
+    scale = sm_scale * LOG2_E
+    for h in range(Hkv):  # static loop over kv heads
+        qh = q_ref[0, h * group:(h + 1) * group, :]          # (grp, D)
+        kh = k_buf[buf, h]                                   # (pm*P, D)
+        s = lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                            # (grp, pm*P)
+        pos = lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < plen, s, MASK_VALUE)
+
+        rk = rk_ref[0, 0, h]                                 # (T, D)
+        sr = lax.dot_general(
+            qh, rk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                            # (grp, T)
+        r = lax.broadcasted_iota(jnp.int32, sr.shape, 1)
+        sr = jnp.where(r <= g, sr, MASK_VALUE)
+
+        m = jnp.maximum(jnp.max(s, axis=1), jnp.max(sr, axis=1))  # (grp,)
+        p = jnp.exp2(s - m[:, None])
+        pr = jnp.exp2(sr - m[:, None])
+        # row r==g (this step's token) always valid -> l > 0
+        l = jnp.sum(p, axis=1) + jnp.sum(pr, axis=1)
+        vh = v_buf[buf, h]
+        acc = lax.dot_general(
+            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rv = rv_ref[0, 0, h]
+        acc = acc + lax.dot_general(
+            pr.astype(rv.dtype), rv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h * group:(h + 1) * group, :] = (
+            acc / l[:, None]
+        ).astype(o_ref.dtype)
+
+
+def ring_decode_attention_pallas(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    k_ring: jax.Array,
+    v_ring: jax.Array,
+    page_table: jax.Array,
+    pages_len: jax.Array,
+    lengths: jax.Array,
+    layer_index: jax.Array,
+    sm_scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    B, H, D = q.shape
+    L_layers, Hkv, n_pages, P, Dk = k_pages.shape
+    pm = page_table.shape[1]
+    T = k_ring.shape[3]
+    assert D == Dk and v_pages.shape == k_pages.shape
+    assert k_ring.shape == (L_layers, B, Hkv, T, D)
+    assert H % Hkv == 0
+    group = H // Hkv
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+
+    import functools
+
+    def ring_index(b, layer, *_):
+        return (layer[0], b, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, D), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D), ring_index),
+            pl.BlockSpec((1, 1, Hkv, T, D), ring_index),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, H, D), lambda b, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, Hkv, pm * P, D), k_pages.dtype),
+            pltpu.VMEM((2, Hkv, pm * P, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, pm, 2)),
+        ],
+    )
+
+    return pl.pallas_call(
+        functools.partial(
+            _ring_decode_kernel,
+            sm_scale=float(sm_scale), page_size=P, pages_max=pm, group=group,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer_index, jnp.int32).reshape(1),
+        page_table.astype(jnp.int32),
+        pages_len.astype(jnp.int32),
+        lengths.astype(jnp.int32),
+        q, k_ring, v_ring, k_pages, v_pages,
+    )
+
+
+def ring_decode_attention(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    k_ring: jax.Array,
+    v_ring: jax.Array,
+    page_table: jax.Array,
+    pages_len: jax.Array,
+    lengths: jax.Array,
+    layer_index: jax.Array,
+    sm_scale: Optional[float] = None,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Dispatching entry point for the paged+ring decode step."""
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return ring_decode_attention_xla(
+            q, k_pages, v_pages, k_ring, v_ring, page_table, pages_len,
+            lengths, layer_index, sm_scale=sm_scale)
+    if impl in ("pallas", "pallas_interpret"):
+        return ring_decode_attention_pallas(
+            q, k_pages, v_pages, k_ring, v_ring, page_table, pages_len,
+            lengths, layer_index, sm_scale=sm_scale,
+            interpret=(impl == "pallas_interpret"))
+    raise ValueError(f"Unknown ring decode attention impl {impl!r}")
+
+
+def fold_ring_into_pages(
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    k_ring: jax.Array,
+    v_ring: jax.Array,
+    page_table: jax.Array,
+    pages_len: jax.Array,
+    rows: int,
+):
+    """Scatter the first ``rows`` ring rows into the page pool (end of a
+    decode chunk). Ring row r of slot b lands at position pages_len_b + r;
+    positions past a slot's reserved pages resolve to table entries that
+    are 0 (trash page) — released/overflowing slots fold harmlessly.
+    Returns updated (k_pages, v_pages)."""
+    B, pm = page_table.shape
+    P = k_pages.shape[3]
+    pos = pages_len[:, None] + jnp.arange(rows)[None, :]      # (B, rows)
+    page_idx = jnp.minimum(pos // P, pm - 1)
+    pid = jnp.take_along_axis(page_table, page_idx, axis=1)   # (B, rows)
+    off = pos % P
+    # values: (L, B, Hkv, rows, D) -> (L, Hkv, B, rows, D) to match the
+    # advanced-index result layout of kp[:, :, pid, off, :]
+    kv = k_ring[:, :, :, :rows].transpose(0, 2, 1, 3, 4)
+    vv = v_ring[:, :, :, :rows].transpose(0, 2, 1, 3, 4)
+    k_pages = k_pages.at[:, :, pid, off, :].set(kv.astype(k_pages.dtype))
+    v_pages = v_pages.at[:, :, pid, off, :].set(vv.astype(v_pages.dtype))
+    return k_pages, v_pages

@@ -97,6 +97,7 @@ class ServingEngine:
         if cfg.kv_mode not in ("paged", "slab"):
             raise ValueError(f"kv_mode must be paged|slab, got {cfg.kv_mode!r}")
         self.paged = cfg.kv_mode == "paged"
+        self.decode_chunk = max(1, cfg.decode_chunk)
         if self.paged:
             P = cfg.page_size
             for b in cfg.prefill_buckets:
@@ -108,13 +109,16 @@ class ServingEngine:
             self.pages_max = -(-cfg.max_seq_len // P)
             n_pages = cfg.num_pages or (1 + cfg.max_slots * self.pages_max)
             self.cache = init_paged_kv_cache(
-                llm, n_pages, P, self.pages_max, cfg.max_slots
+                llm, n_pages, P, self.pages_max, cfg.max_slots,
+                ring_size=self.decode_chunk,
             )
             self.num_pages = n_pages
             # host-side allocator state; page 0 = trash (never allocated)
             self.page_table = np.zeros((cfg.max_slots, self.pages_max), np.int32)
             self.free_pages: List[int] = list(range(n_pages - 1, 0, -1))
             self.slot_num_pages = np.zeros((cfg.max_slots,), np.int32)
+            # tokens per slot covered by PAGES (vs the in-chunk ring)
+            self.pages_length = np.zeros((cfg.max_slots,), np.int32)
         else:
             self.cache = init_kv_cache(llm, cfg.max_slots, cfg.max_seq_len)
         self.lengths = np.zeros((cfg.max_slots,), np.int32)
@@ -133,7 +137,6 @@ class ServingEngine:
         # relays) and was the dominant TTFT cost at high concurrency.
         self._seed_ctr = 0
 
-        self.decode_chunk = max(1, cfg.decode_chunk)
         self._prefill_fns: Dict[int, Callable] = {}
         self._chunk_prefill_fns: Dict[tuple, Callable] = {}
         # Power-of-two decode chunk variants: the final steps of a request
@@ -314,6 +317,8 @@ class ServingEngine:
             }
             return new_cache, next_tokens
 
+        paged = self.paged
+
         def decode(params, cache, tokens, active, temps, seed):
             key = jax.random.PRNGKey(seed)
 
@@ -329,6 +334,19 @@ class ServingEngine:
             (cache, tokens, active, key), toks = jax.lax.scan(
                 body, (cache, tokens, active, key), None, length=chunk
             )
+            if paged:
+                # absorb the chunk's ring rows into the page pool (one
+                # scatter per chunk instead of one per step)
+                from multimeditron_tpu.ops.paged_attention import (
+                    fold_ring_into_pages,
+                )
+
+                k, v = fold_ring_into_pages(
+                    cache["k"], cache["v"],
+                    cache["ring_k"], cache["ring_v"],
+                    cache["page_table"], cache["pages_length"], chunk,
+                )
+                cache = {**cache, "k": k, "v": v}
             return cache, tokens, active, toks  # toks: (chunk, slots)
 
         return jax.jit(decode, donate_argnums=(1,))
@@ -498,7 +516,7 @@ class ServingEngine:
             jnp.asarray(dest),
             jnp.asarray(temps), self._next_seed(),
         )
-        self.cache = {"k": k, "v": v, "length": self.cache["length"]}
+        self.cache = {**self.cache, "k": k, "v": v}
         lengths = np.asarray(lengths)
         first_tokens = np.asarray(first_tokens)
 
@@ -509,6 +527,8 @@ class ServingEngine:
             req.tokens.append(int(first))
             self.slot_request[slot] = req
             self.lengths[slot] = int(lengths[j])
+            if self.paged:
+                self.pages_length[slot] = int(lengths[j])
             self.slot_budget[slot] = req.max_new_tokens
             self.slot_generated[slot] = 1
             self.slot_temperature[slot] = req.temperature
@@ -632,7 +652,7 @@ class ServingEngine:
                 dest if self.paged else jnp.int32(slot), jnp.int32(start),
                 jnp.asarray(temps), self._next_seed(),
             )
-            self.cache = {"k": k, "v": v, "length": self.cache["length"]}
+            self.cache = {**self.cache, "k": k, "v": v}
             start += c
 
         first = int(np.asarray(first_token)[0])
@@ -640,6 +660,8 @@ class ServingEngine:
         req.tokens.append(int(first))
         self.slot_request[slot] = req
         self.lengths[slot] = plen
+        if self.paged:
+            self.pages_length[slot] = plen
         self.slot_budget[slot] = req.max_new_tokens
         self.slot_generated[slot] = 1
         self.slot_temperature[slot] = req.temperature
@@ -700,6 +722,9 @@ class ServingEngine:
         }
         if self.paged:
             cache["page_table"] = jnp.asarray(self.page_table)
+            cache["pages_length"] = jnp.asarray(self.pages_length)
+            cache["ring_k"] = self.cache["ring_k"]
+            cache["ring_v"] = self.cache["ring_v"]
         active_at_start = self.active.copy()
         cache, _, _, toks = decode_fn(
             self.params,
@@ -709,9 +734,15 @@ class ServingEngine:
             jnp.asarray(self.slot_temperature),
             self._next_seed(),
         )
-        self.cache = {"k": cache["k"], "v": cache["v"], "length": self.cache["length"]}
+        self.cache = {**self.cache, "k": cache["k"], "v": cache["v"]}
+        if self.paged:
+            self.cache["ring_k"] = cache["ring_k"]
+            self.cache["ring_v"] = cache["ring_v"]
         toks = np.asarray(toks)  # (chunk, slots) — the ONE download per chunk
         self.lengths = np.array(cache["length"])  # writable host copy
+        if self.paged:
+            # the fold moved this chunk's ring rows into the pages
+            self.pages_length = self.lengths.copy()
 
         for slot in range(self.cfg.max_slots):
             if not active_at_start[slot]:

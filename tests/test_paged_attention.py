@@ -89,3 +89,128 @@ def test_pallas_interpret_bf16():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=3e-2, atol=3e-2,
     )
+
+
+# ----------------------------------------------------------------------
+# Ring decode attention (paged prompt KV + in-chunk ring) + fold.
+# ----------------------------------------------------------------------
+from multimeditron_tpu.ops.paged_attention import (  # noqa: E402
+    fold_ring_into_pages,
+    ring_decode_attention_pallas,
+    ring_decode_attention_xla,
+)
+
+
+def _random_ring(key, B, H, Hkv, D, P, pm, pages_len, gen, T=8,
+                 n_layers=2, dtype=jnp.float32):
+    """Pool + ring where slot b has ``pages_len[b]`` tokens in pages and
+    ``gen[b]`` in-chunk ring tokens (the query attends over
+    pages_len+gen+1 keys: ring row ``gen`` holds this step's token)."""
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (B, H, D), dtype)
+    n_pages = 1 + B * pm
+    kp = jax.random.normal(ks[1], (n_layers, Hkv, n_pages, P, D), dtype)
+    vp = jax.random.normal(ks[2], (n_layers, Hkv, n_pages, P, D), dtype)
+    rk = jax.random.normal(ks[3], (n_layers, B, Hkv, T, D), dtype)
+    rv = jax.random.normal(jax.random.fold_in(key, 9),
+                           (n_layers, B, Hkv, T, D), dtype)
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(np.arange(1, n_pages))
+    table = np.zeros((B, pm), np.int32)
+    pos = 0
+    for b in range(B):
+        used = -(-int(pages_len[b]) // P) if pages_len[b] else 0
+        table[b, :used] = ids[pos:pos + used]
+        pos += used
+    lengths = np.asarray(pages_len) + np.asarray(gen)
+    return (q, kp, vp, rk, rv, jnp.asarray(table),
+            jnp.asarray(pages_len, jnp.int32), jnp.asarray(lengths, jnp.int32))
+
+
+def _ring_dense_reference(q, kp, vp, rk, rv, table, plen, lens, li):
+    """Dense reference: gather pages + ring into one masked attention."""
+    B, H, D = q.shape
+    Hkv, _, P, _ = kp[li].shape
+    pm = table.shape[1]
+    T = rk.shape[3]
+    k = jnp.take(kp[li], table, axis=1).transpose(1, 0, 2, 3, 4)
+    v = jnp.take(vp[li], table, axis=1).transpose(1, 0, 2, 3, 4)
+    k = jnp.concatenate([k.reshape(B, Hkv, pm * P, D), rk[li]], axis=2)
+    v = jnp.concatenate([v.reshape(B, Hkv, pm * P, D), rv[li]], axis=2)
+    page_mask = jnp.arange(pm * P)[None, :] < plen[:, None]
+    ring_mask = jnp.arange(T)[None, :] <= (lens - plen)[:, None]
+    kv_mask = jnp.concatenate([page_mask, ring_mask], axis=1)
+    out = attention_xla(q[:, :, None, :], k, v, kv_mask=kv_mask, causal=False)
+    return out[:, :, 0, :]
+
+
+@pytest.mark.parametrize("pages_len,gen", [
+    ([0, 5, 127, 256], [0, 3, 7, 1]),
+    ([0, 0, 0, 0], [0, 0, 0, 0]),     # first decode step everywhere
+])
+@pytest.mark.parametrize("group", [1, 2])
+def test_ring_xla_matches_dense(pages_len, gen, group):
+    Hkv, D, P, pm = 2, 64, 128, 3
+    H = Hkv * group
+    q, kp, vp, rk, rv, table, plen, lens = _random_ring(
+        jax.random.PRNGKey(0), len(pages_len), H, Hkv, D, P, pm,
+        pages_len, gen)
+    li = jnp.int32(1)
+    got = ring_decode_attention_xla(q, kp, vp, rk, rv, table, plen, lens, li)
+    want = _ring_dense_reference(q, kp, vp, rk, rv, table, plen, lens, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("pages_len,gen", [
+    ([0, 5, 127, 256], [0, 3, 7, 1]),
+    ([512, 1, 0, 300], [2, 0, 5, 6]),
+])
+@pytest.mark.parametrize("group,D", [(2, 128), (1, 64), (4, 128)])
+def test_ring_pallas_interpret_matches_xla(pages_len, gen, group, D):
+    Hkv, P, pm = 2, 128, 4
+    H = Hkv * group
+    q, kp, vp, rk, rv, table, plen, lens = _random_ring(
+        jax.random.PRNGKey(1), len(pages_len), H, Hkv, D, P, pm,
+        pages_len, gen)
+    li = jnp.int32(0)
+    got = ring_decode_attention_pallas(
+        q, kp, vp, rk, rv, table, plen, lens, li, interpret=True)
+    want = ring_decode_attention_xla(q, kp, vp, rk, rv, table, plen, lens, li)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fold_ring_into_pages_roundtrip():
+    """Ring rows land at pages_len + r of each slot; a follow-up paged
+    read (gather) sees exactly the ring contents."""
+    B, Hkv, D, P, pm, T, L = 3, 2, 16, 32, 4, 8, 2
+    pages_len = jnp.asarray([0, 33, 64], jnp.int32)
+    key = jax.random.PRNGKey(5)
+    kp = jnp.zeros((L, Hkv, 1 + B * pm, P, D))
+    vp = jnp.zeros_like(kp)
+    rk = jax.random.normal(key, (L, B, Hkv, T, D))
+    rv = jax.random.normal(jax.random.fold_in(key, 1), (L, B, Hkv, T, D))
+    table = np.zeros((B, pm), np.int32)
+    nxt = 1
+    for b in range(B):
+        need = -(-(int(pages_len[b]) + T) // P)
+        table[b, :need] = range(nxt, nxt + need)
+        nxt += need
+    table = jnp.asarray(table)
+    rows = 5
+    kp2, vp2 = fold_ring_into_pages(kp, vp, rk, rv, table, pages_len, rows)
+    for b in range(B):
+        for r in range(rows):
+            p = int(pages_len[b]) + r
+            pid = int(table[b, p // P])
+            np.testing.assert_allclose(
+                np.asarray(kp2[:, :, pid, p % P, :]),
+                np.asarray(rk[:, b, :, r, :]), rtol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(vp2[:, :, pid, p % P, :]),
+                np.asarray(rv[:, b, :, r, :]), rtol=1e-6)
+    # rows >= ``rows`` not folded
+    p = int(pages_len[0]) + rows
+    pid = int(table[0, p // P])
+    assert np.all(np.asarray(kp2[:, :, pid, p % P, :]) == 0)
