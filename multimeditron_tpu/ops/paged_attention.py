@@ -233,6 +233,10 @@ def paged_attention(
     """Dispatching entry point (mirrors ``ops.attention.attention``)."""
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and q.shape[-1] % 128 != 0:
+        # see ring_decode_attention: sub-128 head dims aren't expressible
+        # as Mosaic page DMAs
+        impl = "xla"
     if impl == "xla":
         return paged_attention_xla(q, k_pages, v_pages, page_table, lengths,
                                    sm_scale=sm_scale)
@@ -334,21 +338,26 @@ def _ring_decode_kernel(
     q_ref, rk_ref, rv_ref,                     # VMEM blocks (per slot)
     kp_hbm, vp_hbm,                            # page pools (HBM)
     o_ref,
-    k_buf, v_buf, copy_sems,                   # scratch
-    *, sm_scale, page_size, pages_max, group,
+    k_buf, v_buf, copy_sems, m_scr, l_scr, acc_scr,  # scratch
+    *, sm_scale, page_size, pages_max, group, pages_group,
 ):
-    b = pl.program_id(0)
-    B = pl.num_programs(0)
-    P, pm = page_size, pages_max
+    # Grid (B, ng): ng groups of ``pages_group`` pages per slot, streamed
+    # through double-buffered VMEM group buffers with an online-softmax
+    # accumulator across groups — VMEM use is bounded by the group size,
+    # not max_seq_len (a slot's full page list no longer has to fit).
+    b, jg = pl.program_id(0), pl.program_id(1)
+    B, ng = pl.num_programs(0), pl.num_programs(1)
+    P, pm, G = page_size, pages_max, pages_group
     li = layer_ref[0]
     Hkv = rk_ref.shape[2]
 
-    def start_slot_copies(slot, buf):
+    def start_copies(slot, grp, buf):
         used = lax.min(pl.cdiv(plen_ref[slot], P), pm)
-        for j in range(pm):  # static unroll
-            @pl.when(j < used)
+        base = grp * G
+        for j in range(G):  # static unroll
+            @pl.when(base + j < used)
             def _():
-                pid = table_ref[slot, j]
+                pid = table_ref[slot, base + j]
                 pltpu.make_async_copy(
                     kp_hbm.at[li, :, pid],
                     k_buf.at[buf, :, pl.ds(j * P, P), :],
@@ -360,81 +369,110 @@ def _ring_decode_kernel(
                     copy_sems.at[buf, j, 1],
                 ).start()
 
-            # Uncopied pages: K garbage is masked before use, but the PV
-            # dot multiplies ~0 probabilities by RAW v_buf data — 0 * NaN
-            # would poison the row, so zero stale V pages.
-            @pl.when(j >= used)
+            # Partially-used group: K garbage is masked before use, but
+            # the PV dot multiplies ~0 probabilities by RAW v_buf data —
+            # 0 * NaN would poison the row, so zero stale V pages of
+            # groups that WILL be computed (base < used).
+            @pl.when(jnp.logical_and(base < used, base + j >= used))
             def _zero():
                 v_buf[buf, :, j * P:(j + 1) * P, :] = jnp.zeros(
                     (Hkv, P, v_buf.shape[3]), v_buf.dtype
                 )
 
-    def wait_slot_copies(slot, buf):
+    def wait_copies(slot, grp, buf):
         used = lax.min(pl.cdiv(plen_ref[slot], P), pm)
-        for j in range(pm):
-            @pl.when(j < used)
+        base = grp * G
+        for j in range(G):
+            @pl.when(base + j < used)
             def _():
                 pltpu.make_async_copy(
-                    kp_hbm.at[li, :, table_ref[slot, j]],
+                    kp_hbm.at[li, :, table_ref[slot, base + j]],
                     k_buf.at[buf, :, pl.ds(j * P, P), :],
                     copy_sems.at[buf, j, 0],
                 ).wait()
                 pltpu.make_async_copy(
-                    vp_hbm.at[li, :, table_ref[slot, j]],
+                    vp_hbm.at[li, :, table_ref[slot, base + j]],
                     v_buf.at[buf, :, pl.ds(j * P, P), :],
                     copy_sems.at[buf, j, 1],
                 ).wait()
 
-    @pl.when(b == 0)
+    step = b * ng + jg
+    buf = step % 2
+
+    @pl.when(step == 0)
     def _first():
-        start_slot_copies(0, 0)
+        start_copies(0, 0, 0)
 
-    @pl.when(b + 1 < B)
+    @pl.when(step + 1 < B * ng)
     def _prefetch():
-        start_slot_copies(b + 1, (b + 1) % 2)
+        nxt = step + 1
+        start_copies(nxt // ng, nxt % ng, nxt % 2)
 
-    buf = b % 2
-    wait_slot_copies(b, buf)
+    wait_copies(b, jg, buf)
+
+    @pl.when(jg == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
     plen = plen_ref[b]
-    g = len_ref[b] - plen          # ring rows strictly before this step
+    base_tok = jg * G * P
     scale = sm_scale * LOG2_E
-    for h in range(Hkv):  # static loop over kv heads
-        qh = q_ref[0, h * group:(h + 1) * group, :]          # (grp, D)
-        kh = k_buf[buf, h]                                   # (pm*P, D)
-        s = lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                            # (grp, pm*P)
-        pos = lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(pos < plen, s, MASK_VALUE)
 
-        rk = rk_ref[0, 0, h]                                 # (T, D)
-        sr = lax.dot_general(
-            qh, rk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                            # (grp, T)
-        r = lax.broadcasted_iota(jnp.int32, sr.shape, 1)
-        sr = jnp.where(r <= g, sr, MASK_VALUE)
+    @pl.when(base_tok < plen)  # group holds at least one valid key
+    def _compute():
+        for h in range(Hkv):  # static loop over kv heads
+            qh = q_ref[0, h * group:(h + 1) * group, :]      # (grp, D)
+            kh = k_buf[buf, h]                               # (G*P, D)
+            s = lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                        # (grp, G*P)
+            pos = lax.broadcasted_iota(jnp.int32, s.shape, 1) + base_tok
+            s = jnp.where(pos < plen, s, MASK_VALUE)
 
-        m = jnp.maximum(jnp.max(s, axis=1), jnp.max(sr, axis=1))  # (grp,)
-        p = jnp.exp2(s - m[:, None])
-        pr = jnp.exp2(sr - m[:, None])
-        # row r==g (this step's token) always valid -> l > 0
-        l = jnp.sum(p, axis=1) + jnp.sum(pr, axis=1)
-        vh = v_buf[buf, h]
-        acc = lax.dot_general(
-            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        rv = rv_ref[0, 0, h]
-        acc = acc + lax.dot_general(
-            pr.astype(rv.dtype), rv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, h * group:(h + 1) * group, :] = (
-            acc / l[:, None]
-        ).astype(o_ref.dtype)
+            m_prev = m_scr[h]                                # (grp, LANES)
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            p = jnp.exp2(s - m_next[:, :1])
+            alpha = jnp.exp2(m_prev - m_next)
+            l_scr[h] = alpha * l_scr[h] + jnp.sum(p, axis=1)[:, None]
+            vh = v_buf[buf, h]
+            acc_scr[h] = acc_scr[h] * alpha[:, :1] + lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[h] = m_next
+
+    @pl.when(jg == ng - 1)
+    def _ring_and_finalize():
+        # fold the in-chunk ring rows (always >= 1 valid: row g holds this
+        # step's token, so l > 0 at the end) and write the output
+        g = len_ref[b] - plen
+        for h in range(Hkv):
+            qh = q_ref[0, h * group:(h + 1) * group, :]
+            rk = rk_ref[0, 0, h]                             # (T, D)
+            sr = lax.dot_general(
+                qh, rk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                        # (grp, T)
+            r = lax.broadcasted_iota(jnp.int32, sr.shape, 1)
+            sr = jnp.where(r <= g, sr, MASK_VALUE)
+
+            m_prev = m_scr[h]
+            m_next = jnp.maximum(m_prev, jnp.max(sr, axis=1)[:, None])
+            pr = jnp.exp2(sr - m_next[:, :1])
+            alpha = jnp.exp2(m_prev - m_next)
+            l = alpha * l_scr[h] + jnp.sum(pr, axis=1)[:, None]
+            rv = rv_ref[0, 0, h]
+            acc = acc_scr[h] * alpha[:, :1] + lax.dot_general(
+                pr.astype(rv.dtype), rv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, h * group:(h + 1) * group, :] = (
+                acc / l[:, :1]
+            ).astype(o_ref.dtype)
 
 
 def ring_decode_attention_pallas(
@@ -449,6 +487,7 @@ def ring_decode_attention_pallas(
     layer_index: jax.Array,
     sm_scale: Optional[float] = None,
     interpret: bool = False,
+    pages_group: Optional[int] = None,
 ) -> jax.Array:
     B, H, D = q.shape
     L_layers, Hkv, n_pages, P, Dk = k_pages.shape
@@ -463,24 +502,36 @@ def ring_decode_attention_pallas(
 
     import functools
 
-    def ring_index(b, layer, *_):
+    # Pages per streamed group: bound the double-buffered k/v group
+    # buffers to ~8 MB of VMEM so max_seq_len never drives VMEM pressure
+    # (2 buffers x 2 arrays x G*P tokens x Hkv*D lanes).
+    dsize = jnp.dtype(k_pages.dtype).itemsize
+    page_bytes = Hkv * P * D * dsize
+    G = pages_group or max(1, int((8 * 1024 * 1024) // (4 * page_bytes)))
+    G = min(G, pm)
+    ng = -(-pm // G)
+
+    def ring_index(b, jg, layer, *_):
         return (layer[0], b, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B,),
+        grid=(B, ng),
         in_specs=[
-            pl.BlockSpec((1, H, D), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, H, D), lambda b, jg, *_: (b, 0, 0)),
             pl.BlockSpec((1, 1, Hkv, T, D), ring_index),
             pl.BlockSpec((1, 1, Hkv, T, D), ring_index),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, H, D), lambda b, *_: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, H, D), lambda b, jg, *_: (b, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, Hkv, pm * P, D), k_pages.dtype),
-            pltpu.VMEM((2, Hkv, pm * P, D), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, pm, 2)),
+            pltpu.VMEM((2, Hkv, G * P, D), k_pages.dtype),
+            pltpu.VMEM((2, Hkv, G * P, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, G, 2)),
+            pltpu.VMEM((Hkv, group, LANES), jnp.float32),
+            pltpu.VMEM((Hkv, group, LANES), jnp.float32),
+            pltpu.VMEM((Hkv, group, D), jnp.float32),
         ],
     )
 
@@ -488,11 +539,12 @@ def ring_decode_attention_pallas(
         functools.partial(
             _ring_decode_kernel,
             sm_scale=float(sm_scale), page_size=P, pages_max=pm, group=group,
+            pages_group=G,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(
@@ -520,6 +572,11 @@ def ring_decode_attention(
     """Dispatching entry point for the paged+ring decode step."""
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and q.shape[-1] % 128 != 0:
+        # Mosaic page DMAs slice the lane axis; head dims that don't fill
+        # a 128-lane tile can't be expressed (tiny eval models) — the
+        # gather-based XLA path is cheap at those sizes anyway.
+        impl = "xla"
     if impl == "xla":
         return ring_decode_attention_xla(
             q, k_pages, v_pages, k_ring, v_ring, page_table, pages_len,
@@ -532,6 +589,167 @@ def ring_decode_attention(
     raise ValueError(f"Unknown ring decode attention impl {impl!r}")
 
 
+def _fold_kernel(
+    table_ref, plen_ref, len_ref,              # scalar prefetch (SMEM)
+    rk_ref, rv_ref,                            # ring blocks (VMEM)
+    kp_hbm, vp_hbm,                            # page pools (ANY, aliased)
+    okp_hbm, ovp_hbm,                          # outputs (alias of kp/vp)
+    kbuf, vbuf, sems,                          # scratch
+    *, page_size, pages_max, ring_size,
+):
+    # One grid step folds slot b's ring rows into its pages for layer li:
+    # read-modify-write of the 1-2 pages the rows land in (whole-page
+    # DMAs; the merge happens in VMEM). Replaces an XLA scatter whose
+    # cost scaled with the POOL size (measured ~28 ms/chunk at a
+    # 513-page pool vs ~1 ms here).
+    li, b = pl.program_id(0), pl.program_id(1)
+    P, pm, T = page_size, pages_max, ring_size
+    plen = plen_ref[b]
+    nrows = lax.min(lax.max(len_ref[b] - plen, 0), T)
+    p0 = lax.min(plen // P, pm - 1)
+    o0 = plen % P
+    pid0 = table_ref[b, p0]
+    pid1 = table_ref[b, lax.min(p0 + 1, pm - 1)]
+    two = (o0 + nrows) > P  # rows spill into the next page
+
+    @pl.when(nrows > 0)
+    def _fold():
+        r0k = pltpu.make_async_copy(
+            kp_hbm.at[li, :, pid0], kbuf.at[:, pl.ds(0, P), :], sems.at[0])
+        r0v = pltpu.make_async_copy(
+            vp_hbm.at[li, :, pid0], vbuf.at[:, pl.ds(0, P), :], sems.at[1])
+        r0k.start(); r0v.start()
+
+        @pl.when(two)
+        def _start_p1():
+            pltpu.make_async_copy(
+                kp_hbm.at[li, :, pid1], kbuf.at[:, pl.ds(P, P), :],
+                sems.at[2]).start()
+            pltpu.make_async_copy(
+                vp_hbm.at[li, :, pid1], vbuf.at[:, pl.ds(P, P), :],
+                sems.at[3]).start()
+
+        r0k.wait(); r0v.wait()
+
+        @pl.when(two)
+        def _wait_p1():
+            pltpu.make_async_copy(
+                kp_hbm.at[li, :, pid1], kbuf.at[:, pl.ds(P, P), :],
+                sems.at[2]).wait()
+            pltpu.make_async_copy(
+                vp_hbm.at[li, :, pid1], vbuf.at[:, pl.ds(P, P), :],
+                sems.at[3]).wait()
+
+        # Place ring row r at position o0 + r of the two-page window: pad
+        # the T rows to the window width and rotate by o0 (dynamic shift).
+        pos = lax.broadcasted_iota(jnp.int32, (1, 2 * P, 1), 1)
+        mask = jnp.logical_and(pos >= o0, pos < o0 + nrows)
+
+        def merge(buf, ring):  # ring: (Hkv, T, D)
+            pad = jnp.pad(ring, ((0, 0), (0, 2 * P - T), (0, 0)))
+            # Mosaic only implements dynamic rotates on 32-bit lanes; the
+            # roll is along the sublane (token) axis, so widening bf16 to
+            # f32 is exact and shape-preserving.
+            rolled = pltpu.roll(pad.astype(jnp.float32), o0, 1)
+            buf[...] = jnp.where(mask, rolled.astype(buf.dtype), buf[...])
+
+        merge(kbuf, rk_ref[0, 0])
+        merge(vbuf, rv_ref[0, 0])
+
+        w0k = pltpu.make_async_copy(
+            kbuf.at[:, pl.ds(0, P), :], okp_hbm.at[li, :, pid0], sems.at[0])
+        w0v = pltpu.make_async_copy(
+            vbuf.at[:, pl.ds(0, P), :], ovp_hbm.at[li, :, pid0], sems.at[1])
+        w0k.start(); w0v.start()
+
+        @pl.when(two)
+        def _write_p1():
+            pltpu.make_async_copy(
+                kbuf.at[:, pl.ds(P, P), :], okp_hbm.at[li, :, pid1],
+                sems.at[2]).start()
+            pltpu.make_async_copy(
+                vbuf.at[:, pl.ds(P, P), :], ovp_hbm.at[li, :, pid1],
+                sems.at[3]).start()
+
+        w0k.wait(); w0v.wait()
+
+        @pl.when(two)
+        def _wait_w1():
+            pltpu.make_async_copy(
+                kbuf.at[:, pl.ds(P, P), :], okp_hbm.at[li, :, pid1],
+                sems.at[2]).wait()
+            pltpu.make_async_copy(
+                vbuf.at[:, pl.ds(P, P), :], ovp_hbm.at[li, :, pid1],
+                sems.at[3]).wait()
+
+
+def fold_ring_into_pages_pallas(
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    k_ring: jax.Array,
+    v_ring: jax.Array,
+    page_table: jax.Array,
+    pages_len: jax.Array,
+    rows: int,
+    lengths: jax.Array,
+    interpret: bool = False,
+):
+    """Pallas page-RMW fold (see ``_fold_kernel``). ``rows`` is accepted
+    for signature parity with the XLA fold; the per-slot row count comes
+    from ``lengths - pages_len`` (clamped to the ring size)."""
+    import functools
+
+    L, Hkv, n_pages, P, D = k_pages.shape
+    B, pm = page_table.shape
+    T = k_ring.shape[3]
+    assert T <= P, f"ring ({T}) must fit within one page ({P})"
+
+    def ring_index(li, b, *_):
+        return (li, b, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(L, B),
+        in_specs=[
+            pl.BlockSpec((1, 1, Hkv, T, D), ring_index),
+            pl.BlockSpec((1, 1, Hkv, T, D), ring_index),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, 2 * P, D), k_pages.dtype),
+            pltpu.VMEM((Hkv, 2 * P, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+
+    return pl.pallas_call(
+        functools.partial(
+            _fold_kernel, page_size=P, pages_max=pm, ring_size=T,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        ],
+        # inputs (incl. 3 scalar-prefetch args): rk=3, rv=4, kp=5, vp=6
+        input_output_aliases={5: 0, 6: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        page_table.astype(jnp.int32),
+        pages_len.astype(jnp.int32),
+        lengths.astype(jnp.int32),
+        k_ring, v_ring, k_pages, v_pages,
+    )
+
+
 def fold_ring_into_pages(
     k_pages: jax.Array,
     v_pages: jax.Array,
@@ -540,17 +758,37 @@ def fold_ring_into_pages(
     page_table: jax.Array,
     pages_len: jax.Array,
     rows: int,
+    lengths: Optional[jax.Array] = None,
+    impl: Optional[str] = None,
 ):
     """Scatter the first ``rows`` ring rows into the page pool (end of a
     decode chunk). Ring row r of slot b lands at position pages_len_b + r;
     positions past a slot's reserved pages resolve to table entries that
     are 0 (trash page) — released/overflowing slots fold harmlessly.
-    Returns updated (k_pages, v_pages)."""
+    ``lengths`` (per-slot token counts AFTER the chunk) additionally sends
+    rows at positions >= lengths_b to the trash page: slots that
+    deactivated mid-chunk (or whose page_table row is stale because the
+    scheduler keeps it device-resident) fold only their real tokens.
+    Returns updated (k_pages, v_pages).
+
+    On TPU with ``lengths`` given, dispatches to the Pallas page-RMW fold
+    (XLA's scatter re-materializes the whole pool — its cost scales with
+    pool size, not rows written)."""
     B, pm = page_table.shape
     P = k_pages.shape[3]
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if (impl == "pallas" and lengths is not None
+            and k_pages.shape[-1] % 128 == 0
+            and k_ring.shape[3] <= P):
+        return fold_ring_into_pages_pallas(
+            k_pages, v_pages, k_ring, v_ring, page_table, pages_len,
+            rows, lengths)
     pos = pages_len[:, None] + jnp.arange(rows)[None, :]      # (B, rows)
     page_idx = jnp.minimum(pos // P, pm - 1)
     pid = jnp.take_along_axis(page_table, page_idx, axis=1)   # (B, rows)
+    if lengths is not None:
+        pid = jnp.where(pos < lengths[:, None], pid, 0)
     off = pos % P
     # values: (L, B, Hkv, rows, D) -> (L, Hkv, B, rows, D) to match the
     # advanced-index result layout of kp[:, :, pid, off, :]

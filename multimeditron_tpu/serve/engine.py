@@ -108,7 +108,7 @@ class ServingEngine:
             self.page_size = P
             self.pages_max = -(-cfg.max_seq_len // P)
             n_pages = cfg.num_pages or (1 + cfg.max_slots * self.pages_max)
-            self.cache = init_paged_kv_cache(
+            cache = init_paged_kv_cache(
                 llm, n_pages, P, self.pages_max, cfg.max_slots,
                 ring_size=self.decode_chunk,
             )
@@ -120,7 +120,17 @@ class ServingEngine:
             # tokens per slot covered by PAGES (vs the in-chunk ring)
             self.pages_length = np.zeros((cfg.max_slots,), np.int32)
         else:
-            self.cache = init_kv_cache(llm, cfg.max_slots, cfg.max_seq_len)
+            cache = init_kv_cache(llm, cfg.max_slots, cfg.max_seq_len)
+        # Host MIRRORS of the scheduling state. The authoritative copy
+        # lives ON DEVICE in ``self.state`` (below): the steady-state
+        # decode loop is one device call per chunk with ZERO uploads and
+        # one download (the token matrix) — every per-chunk
+        # ``jnp.asarray(host_array)`` upload was a separate ~10 ms
+        # round-trip on relay-attached chips (measured: the compiled
+        # chunk runs 7.4 ms/step but the engine achieved only 18 ms/step
+        # before this change). The mirrors are advanced host-side from
+        # the downloaded tokens alone and exist for scheduling decisions
+        # (admission, page allocation, finish bookkeeping).
         self.lengths = np.zeros((cfg.max_slots,), np.int32)
         self.slot_request: List[Optional[Request]] = [None] * cfg.max_slots
         self.slot_budget = np.zeros((cfg.max_slots,), np.int32)
@@ -128,6 +138,26 @@ class ServingEngine:
         self.slot_temperature = np.full((cfg.max_slots,), cfg.temperature, np.float32)
         self.last_tokens = np.zeros((cfg.max_slots,), np.int32)
         self.active = np.zeros((cfg.max_slots,), bool)
+
+        # Device-resident scheduling state, donated through every
+        # prefill/decode call. "length"/"page_table"/"pages_length" move
+        # INTO this dict (they are per-chunk-varying cache metadata);
+        # "remaining" implements the token budget in-graph so slots
+        # deactivate at budget/EOS/capacity without host intervention.
+        self.state = {
+            **{k_: v_ for k_, v_ in cache.items()
+               if k_ not in ("length", "page_table", "pages_length")},
+            "length": jnp.zeros((cfg.max_slots,), jnp.int32),
+            "tokens": jnp.zeros((cfg.max_slots,), jnp.int32),
+            "active": jnp.zeros((cfg.max_slots,), bool),
+            "remaining": jnp.zeros((cfg.max_slots,), jnp.int32),
+            "temps": jnp.full((cfg.max_slots,), cfg.temperature, jnp.float32),
+            "seed": jnp.int32(cfg.seed),
+        }
+        if self.paged:
+            self.state["page_table"] = jnp.zeros(
+                (cfg.max_slots, self.pages_max), jnp.int32)
+            self.state["pages_length"] = jnp.zeros((cfg.max_slots,), jnp.int32)
 
         self.queue: List[Request] = []
         self._next_id = 0
@@ -208,17 +238,21 @@ class ServingEngine:
         llm = model.config.llm
         paged = self.paged
         P = self.page_size if paged else 0
+        eos = self.eos_id
 
         sampler = self._make_sampler()
 
-        def prefill(params, cache, input_ids, attention_mask, mm_inputs, dest,
-                    temps, seed):
+        def prefill(params, state, input_ids, attention_mask, mm_inputs, dest,
+                    slot_ids, page_rows, temps, budgets, seed):
             # Encode + splice + causal prefill of n requests into a fresh
             # local cache, then copy each written region into its slot
             # (slab: contiguous copy at ``dest``=slot ids; paged: one
             # scatter of bucket-shaped pages at ``dest``=pool page ids).
+            # The admitted slots' scheduling rows (tokens/active/budget/
+            # temps/lengths/page-table) are set IN-GRAPH so the decode
+            # loop needs no per-chunk uploads.
             embeds = model.embed(params, input_ids, mm_inputs)
-            local = init_kv_cache(llm, n, bucket, dtype=cache["k"].dtype)
+            local = init_kv_cache(llm, n, bucket, dtype=state["k"].dtype)
             logits, local = llama_forward(
                 params["llm"], llm,
                 inputs_embeds=embeds,
@@ -228,7 +262,7 @@ class ServingEngine:
                 attn_impl=cfg.attn_impl,
             )
             lengths = attention_mask.sum(axis=-1).astype(jnp.int32)
-            k, v = cache["k"], cache["v"]
+            k, v = state["k"], state["v"]
             if paged:
                 L_, _, Hkv, _, Dh = local["k"].shape
                 if bucket >= P:
@@ -267,7 +301,24 @@ class ServingEngine:
                 logits, (lengths - 1)[:, None, None], axis=1
             )[:, 0]
             first_tokens = sampler(last_logits, temps, seed)
-            return k, v, lengths, first_tokens
+            # a slot starts active unless the first token already ends it
+            active_new = jnp.logical_and(first_tokens != eos, budgets > 1)
+            state = {
+                **state,
+                "k": k,
+                "v": v,
+                "length": state["length"].at[slot_ids].set(lengths),
+                "tokens": state["tokens"].at[slot_ids].set(first_tokens),
+                "active": state["active"].at[slot_ids].set(active_new),
+                "remaining": state["remaining"].at[slot_ids].set(budgets - 1),
+                "temps": state["temps"].at[slot_ids].set(temps),
+            }
+            if paged:
+                state["pages_length"] = (
+                    state["pages_length"].at[slot_ids].set(lengths))
+                state["page_table"] = (
+                    state["page_table"].at[slot_ids].set(page_rows))
+            return state, lengths, first_tokens
 
         return jax.jit(prefill, donate_argnums=(1,))
 
@@ -277,17 +328,26 @@ class ServingEngine:
         return self._decode_fns[chunk]
 
     def _build_decode_fn(self, chunk: Optional[int] = None) -> Callable:
-        """Compiled CHUNKED decode: ``decode_chunk`` steps per host
-        round-trip (lax.scan), with EOS deactivation in-graph. One download
-        (the (chunk, slots) token matrix) per call — critical when each
-        device call carries fixed dispatch latency (remote-relay TPU
-        setups measured ~30-100 ms/call)."""
+        """Compiled CHUNKED decode: ``chunk`` steps per host round-trip
+        (lax.scan), taking the whole device-resident scheduling state and
+        returning it updated. EOS, token-budget ("remaining") and
+        cache-capacity deactivation all happen in-graph, so steady-state
+        decode is ONE device call per chunk with ZERO uploads and ONE
+        download (the (chunk, slots) token matrix) — critical when each
+        host<->device transfer carries fixed dispatch latency
+        (remote-relay TPU setups measured ~10-30 ms per transfer)."""
         model, cfg = self.model, self.cfg
         llm = model.config.llm
         eos = self.eos_id
         chunk = chunk or self.decode_chunk
+        max_seq_len = cfg.max_seq_len
 
         page_size = self.page_size if self.paged else None
+        paged = self.paged
+        cache_keys = (
+            ("k", "v", "ring_k", "ring_v", "length", "page_table",
+             "pages_length") if paged else ("k", "v", "length")
+        )
 
         def one_step(params, cache, tokens, active, temps, key):
             embeds = jnp.take(params["llm"]["embed_tokens"], tokens, axis=0)[:, None, :]
@@ -317,26 +377,38 @@ class ServingEngine:
             }
             return new_cache, next_tokens
 
-        paged = self.paged
-
-        def decode(params, cache, tokens, active, temps, seed):
-            key = jax.random.PRNGKey(seed)
+        def decode(params, state):
+            key = jax.random.PRNGKey(state["seed"])
+            cache = {k_: state[k_] for k_ in cache_keys}
 
             def body(carry, _):
-                cache, tokens, active, key = carry
+                cache, tokens, active, remaining, key = carry
                 key, sub = jax.random.split(key)
                 cache, next_tokens = one_step(
-                    params, cache, tokens, active, temps, sub
+                    params, cache, tokens, active, state["temps"], sub
                 )
-                active = jnp.logical_and(active, next_tokens != eos)
-                return (cache, next_tokens, active, key), next_tokens
+                # the token just produced consumed one unit of budget;
+                # deactivate on EOS, exhausted budget, or a full cache
+                remaining = remaining - active.astype(jnp.int32)
+                active = (
+                    active
+                    & (next_tokens != eos)
+                    & (remaining > 0)
+                    & (cache["length"] < max_seq_len)
+                )
+                return (cache, next_tokens, active, remaining, key), next_tokens
 
-            (cache, tokens, active, key), toks = jax.lax.scan(
-                body, (cache, tokens, active, key), None, length=chunk
+            (cache, tokens, active, remaining, key), toks = jax.lax.scan(
+                body,
+                (cache, state["tokens"], state["active"], state["remaining"],
+                 key),
+                None, length=chunk,
             )
             if paged:
                 # absorb the chunk's ring rows into the page pool (one
-                # scatter per chunk instead of one per step)
+                # scatter per chunk instead of one per step); rows past a
+                # slot's final length (mid-chunk deactivation, stale rows
+                # of released slots) go to the trash page
                 from multimeditron_tpu.ops.paged_attention import (
                     fold_ring_into_pages,
                 )
@@ -345,9 +417,19 @@ class ServingEngine:
                     cache["k"], cache["v"],
                     cache["ring_k"], cache["ring_v"],
                     cache["page_table"], cache["pages_length"], chunk,
+                    lengths=cache["length"],
                 )
-                cache = {**cache, "k": k, "v": v}
-            return cache, tokens, active, toks  # toks: (chunk, slots)
+                cache = {**cache, "k": k, "v": v,
+                         "pages_length": cache["length"]}
+            state = {
+                **state,
+                **{k_: cache[k_] for k_ in cache_keys},
+                "tokens": tokens,
+                "active": active,
+                "remaining": remaining,
+                "seed": state["seed"] + 1,
+            }
+            return state, toks  # toks: (chunk, slots)
 
         return jax.jit(decode, donate_argnums=(1,))
 
@@ -503,20 +585,24 @@ class ServingEngine:
         if key not in self._prefill_fns:
             self._prefill_fns[key] = self._build_prefill_fn(bucket, n)
         temps = np.asarray([r.temperature for r in group], np.float32)
+        budgets = np.asarray([r.max_new_tokens for r in group], np.int32)
         if self.paged:
             for req, slot in zip(group, slots):
                 self._reserve_pages(req, slot)
             dest = self._bucket_page_ids(slots, bucket)
+            page_rows = self.page_table[np.asarray(slots)].astype(np.int32)
         else:
             dest = np.asarray(slots, np.int32)
-        k, v, lengths, first_tokens = self._prefill_fns[key](
+            page_rows = np.zeros((n, 1), np.int32)  # unused placeholder
+        self.state, lengths, first_tokens = self._prefill_fns[key](
             self.params,
-            {"k": self.cache["k"], "v": self.cache["v"]},
+            self.state,
             jnp.asarray(input_ids), jnp.asarray(mask), mm,
             jnp.asarray(dest),
-            jnp.asarray(temps), self._next_seed(),
+            jnp.asarray(np.asarray(slots, np.int32)),
+            jnp.asarray(page_rows),
+            jnp.asarray(temps), jnp.asarray(budgets), self._next_seed(),
         )
-        self.cache = {**self.cache, "k": k, "v": v}
         lengths = np.asarray(lengths)
         first_tokens = np.asarray(first_tokens)
 
@@ -555,21 +641,21 @@ class ServingEngine:
 
         sampler = self._make_sampler()
 
-        def chunk_prefill(params, cache, input_ids, attention_mask,
+        def chunk_prefill(params, state, input_ids, attention_mask,
                           mm_inputs, dest, start_len, temps, seed):
             embeds = model.embed(params, input_ids, mm_inputs)
             if paged:
                 P, pm = self.page_size, self.pages_max
                 # dest: (pm,) pool page ids of this slot
-                k_slot = jnp.take(cache["k"], dest, axis=2)  # (L,Hkv,pm,P,Dh)
-                v_slot = jnp.take(cache["v"], dest, axis=2)
+                k_slot = jnp.take(state["k"], dest, axis=2)  # (L,Hkv,pm,P,Dh)
+                v_slot = jnp.take(state["v"], dest, axis=2)
                 L_, Hkv, _, _, Dh = k_slot.shape
                 k_slot = k_slot.reshape(L_, Hkv, pm * P, Dh)[:, None]
                 v_slot = v_slot.reshape(L_, Hkv, pm * P, Dh)[:, None]
             else:
                 # dest: scalar slot id
-                k_slot = jax.lax.dynamic_slice_in_dim(cache["k"], dest, 1, axis=1)
-                v_slot = jax.lax.dynamic_slice_in_dim(cache["v"], dest, 1, axis=1)
+                k_slot = jax.lax.dynamic_slice_in_dim(state["k"], dest, 1, axis=1)
+                v_slot = jax.lax.dynamic_slice_in_dim(state["v"], dest, 1, axis=1)
             slot_cache = {"k": k_slot, "v": v_slot,
                           "length": start_len[None]}
             logits, slot_cache = llama_forward(
@@ -583,19 +669,48 @@ class ServingEngine:
             if paged:
                 back_k = slot_cache["k"][:, 0].reshape(L_, Hkv, pm, P, Dh)
                 back_v = slot_cache["v"][:, 0].reshape(L_, Hkv, pm, P, Dh)
-                k = cache["k"].at[:, :, dest].set(back_k)
-                v = cache["v"].at[:, :, dest].set(back_v)
+                k = state["k"].at[:, :, dest].set(back_k)
+                v = state["v"].at[:, :, dest].set(back_v)
             else:
                 k = jax.lax.dynamic_update_slice(
-                    cache["k"], slot_cache["k"], (0, dest, 0, 0, 0))
+                    state["k"], slot_cache["k"], (0, dest, 0, 0, 0))
                 v = jax.lax.dynamic_update_slice(
-                    cache["v"], slot_cache["v"], (0, dest, 0, 0, 0))
+                    state["v"], slot_cache["v"], (0, dest, 0, 0, 0))
             chunk_len = attention_mask.sum(axis=-1).astype(jnp.int32)
             last = jnp.take_along_axis(
                 logits, (chunk_len - 1)[:, None, None], axis=1)[:, 0]
-            return k, v, sampler(last, temps, seed)
+            return {**state, "k": k, "v": v}, sampler(last, temps, seed)
 
         return jax.jit(chunk_prefill, donate_argnums=(1,))
+
+    def _get_admit_slot_fn(self) -> Callable:
+        """Tiny jitted scatter that writes ONE admitted slot's scheduling
+        row into the device state (used by the rare chunked-prefill path;
+        grouped prefill folds this into the prefill graph itself)."""
+        if getattr(self, "_admit_slot_fn", None) is None:
+            paged = self.paged
+            eos = self.eos_id
+
+            def admit(state, slot, length, first_token, temp, budget,
+                      page_row):
+                active_new = jnp.logical_and(first_token != eos, budget > 1)
+                state = {
+                    **state,
+                    "length": state["length"].at[slot].set(length),
+                    "tokens": state["tokens"].at[slot].set(first_token),
+                    "active": state["active"].at[slot].set(active_new),
+                    "remaining": state["remaining"].at[slot].set(budget - 1),
+                    "temps": state["temps"].at[slot].set(temp),
+                }
+                if paged:
+                    state["pages_length"] = (
+                        state["pages_length"].at[slot].set(length))
+                    state["page_table"] = (
+                        state["page_table"].at[slot].set(page_row))
+                return state
+
+            self._admit_slot_fn = jax.jit(admit, donate_argnums=(0,))
+        return self._admit_slot_fn
 
     @staticmethod
     def _chunk_mm(mm, start: int, length: int, bucket: int):
@@ -644,18 +759,24 @@ class ServingEngine:
             key = ("chunk", bucket, mm_sig)
             if key not in self._chunk_prefill_fns:
                 self._chunk_prefill_fns[key] = self._build_chunk_prefill_fn(bucket)
-            k, v, first_token = self._chunk_prefill_fns[key](
+            self.state, first_token = self._chunk_prefill_fns[key](
                 self.params,
-                {"k": self.cache["k"], "v": self.cache["v"]},
+                self.state,
                 jnp.asarray(chunk_ids), jnp.asarray(chunk_mask),
                 self._chunk_mm(mm, start, c, bucket),
                 dest if self.paged else jnp.int32(slot), jnp.int32(start),
                 jnp.asarray(temps), self._next_seed(),
             )
-            self.cache = {**self.cache, "k": k, "v": v}
             start += c
 
         first = int(np.asarray(first_token)[0])
+        page_row = (self.page_table[slot].astype(np.int32) if self.paged
+                    else np.zeros((1,), np.int32))
+        self.state = self._get_admit_slot_fn()(
+            self.state, jnp.int32(slot), jnp.int32(plen), jnp.int32(first),
+            jnp.float32(req.temperature), jnp.int32(req.max_new_tokens),
+            jnp.asarray(page_row),
+        )
         req.first_token_time = time.time()
         req.tokens.append(int(first))
         self.slot_request[slot] = req
@@ -715,35 +836,16 @@ class ServingEngine:
         chunk_now = 1 << (chunk_now.bit_length() - 1)
         decode_fn = self._get_decode_fn(chunk_now)
 
-        cache = {
-            "k": self.cache["k"],
-            "v": self.cache["v"],
-            "length": jnp.asarray(self.lengths),
-        }
-        if self.paged:
-            cache["page_table"] = jnp.asarray(self.page_table)
-            cache["pages_length"] = jnp.asarray(self.pages_length)
-            cache["ring_k"] = self.cache["ring_k"]
-            cache["ring_v"] = self.cache["ring_v"]
         active_at_start = self.active.copy()
-        cache, _, _, toks = decode_fn(
-            self.params,
-            cache,
-            jnp.asarray(self.last_tokens),
-            jnp.asarray(self.active),
-            jnp.asarray(self.slot_temperature),
-            self._next_seed(),
-        )
-        self.cache = {**self.cache, "k": cache["k"], "v": cache["v"]}
-        if self.paged:
-            self.cache["ring_k"] = cache["ring_k"]
-            self.cache["ring_v"] = cache["ring_v"]
-        toks = np.asarray(toks)  # (chunk, slots) — the ONE download per chunk
-        self.lengths = np.array(cache["length"])  # writable host copy
-        if self.paged:
-            # the fold moved this chunk's ring rows into the pages
-            self.pages_length = self.lengths.copy()
+        # ZERO uploads: params + the whole scheduling state already live
+        # on device; ONE download: the token matrix.
+        self.state, toks = decode_fn(self.params, self.state)
+        toks = np.asarray(toks)  # (chunk, slots)
 
+        # Advance the host mirrors from the tokens alone, replicating the
+        # in-graph deactivation rules exactly: a slot that emitted EOS or
+        # exhausted its budget at step s advanced its device length by
+        # s+1 and then stopped.
         for slot in range(self.cfg.max_slots):
             if not active_at_start[slot]:
                 continue
@@ -752,6 +854,7 @@ class ServingEngine:
                 tok = int(toks[s, slot])
                 req.tokens.append(tok)
                 self.slot_generated[slot] += 1
+                self.lengths[slot] += 1
                 self.last_tokens[slot] = tok
                 if tok == self.eos_id:
                     self._finish(slot, reason="eos")
@@ -759,6 +862,15 @@ class ServingEngine:
                 if self.slot_generated[slot] >= self.slot_budget[slot]:
                     self._finish(slot, reason="budget")
                     break
+                if self.lengths[slot] >= self.cfg.max_seq_len:
+                    # in-graph capacity deactivation mirrored here; the
+                    # finish itself (page release) happens at the top of
+                    # the next step so the fold of THIS chunk still owned
+                    # the pages
+                    break
+        if self.paged:
+            # the fold moved this chunk's ring rows into the pages
+            self.pages_length = self.lengths.copy()
         return bool(self.queue) or bool(self.active.any())
 
     def run(self) -> None:

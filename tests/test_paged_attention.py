@@ -96,6 +96,7 @@ def test_pallas_interpret_bf16():
 # ----------------------------------------------------------------------
 from multimeditron_tpu.ops.paged_attention import (  # noqa: E402
     fold_ring_into_pages,
+    fold_ring_into_pages_pallas,
     ring_decode_attention_pallas,
     ring_decode_attention_xla,
 )
@@ -181,6 +182,27 @@ def test_ring_pallas_interpret_matches_xla(pages_len, gen, group, D):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("pages_group", [1, 2])
+def test_ring_pallas_streamed_groups_match_xla(pages_group):
+    """Multi-group streaming (pages_group < pm) must agree with the
+    single-pass result: the online-softmax accumulator across page
+    groups is exercised, including groups that are skipped (slot with
+    plen=0) and partially used."""
+    Hkv, P, pm, group, D = 2, 128, 4, 2, 128
+    H = Hkv * group
+    pages_len, gen = [0, 5, 127, 400], [0, 3, 7, 1]
+    q, kp, vp, rk, rv, table, plen, lens = _random_ring(
+        jax.random.PRNGKey(2), len(pages_len), H, Hkv, D, P, pm,
+        pages_len, gen)
+    li = jnp.int32(1)
+    got = ring_decode_attention_pallas(
+        q, kp, vp, rk, rv, table, plen, lens, li, interpret=True,
+        pages_group=pages_group)
+    want = ring_decode_attention_xla(q, kp, vp, rk, rv, table, plen, lens, li)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_fold_ring_into_pages_roundtrip():
     """Ring rows land at pages_len + r of each slot; a follow-up paged
     read (gather) sees exactly the ring contents."""
@@ -214,3 +236,35 @@ def test_fold_ring_into_pages_roundtrip():
     p = int(pages_len[0]) + rows
     pid = int(table[0, p // P])
     assert np.all(np.asarray(kp2[:, :, pid, p % P, :]) == 0)
+
+
+def test_fold_pallas_matches_xla():
+    """Page-RMW Pallas fold == XLA scatter fold, including: page-boundary
+    crossings, a mid-chunk-deactivated slot (lengths < pages_len + rows),
+    an inactive slot (lengths == pages_len), and untouched pages
+    preserved. D=128 per the kernel's lane constraint."""
+    B, Hkv, D, P, pm, T, L = 4, 2, 128, 128, 4, 8, 2
+    pages_len = jnp.asarray([0, 5, 250, 384], jnp.int32)
+    gen = jnp.asarray([8, 3, 8, 0], jnp.int32)  # slot 2 crosses a page
+    lengths = pages_len + gen
+    key = jax.random.PRNGKey(7)
+    kp = jax.random.normal(key, (L, Hkv, 1 + B * pm, P, D), jnp.float32)
+    vp = jax.random.normal(jax.random.fold_in(key, 1), kp.shape, jnp.float32)
+    rk = jax.random.normal(jax.random.fold_in(key, 2), (L, B, Hkv, T, D))
+    rv = jax.random.normal(jax.random.fold_in(key, 3), (L, B, Hkv, T, D))
+    table = np.zeros((B, pm), np.int32)
+    ids = np.random.default_rng(0).permutation(np.arange(1, 1 + B * pm))
+    for b in range(B):
+        table[b] = ids[b * pm:(b + 1) * pm]
+    table = jnp.asarray(table)
+
+    want_k, want_v = fold_ring_into_pages(
+        kp, vp, rk, rv, table, pages_len, T, lengths=lengths, impl="xla")
+    got_k, got_v = fold_ring_into_pages_pallas(
+        kp, vp, rk, rv, table, pages_len, T, lengths, interpret=True)
+    # the XLA fold writes dropped rows to the trash page; the pallas fold
+    # skips them — compare everything EXCEPT page 0
+    np.testing.assert_allclose(np.asarray(got_k)[:, :, 1:],
+                               np.asarray(want_k)[:, :, 1:], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_v)[:, :, 1:],
+                               np.asarray(want_v)[:, :, 1:], rtol=1e-6)

@@ -65,8 +65,11 @@ def test_grpo_increases_reward():
     model.config.eos_token_idx = 2
     params = model.init_params(jax.random.PRNGKey(0))
     tok = ToyTokenizer()
-    target_word = "target"
-    tok.token_to_id(target_word)  # ensure in vocab
+    # Dense reward: count '7' characters in the decoded rollout (unknown
+    # ids render as "<id>", so ~28% of random tokens score). A sparse
+    # contains-a-word reward over a 4096 vocab made the assertion a coin
+    # flip on the sampler's PRNG stream (near-zero hit probability).
+    target_char = "7"
 
     collator = DataCollatorForMultimodal(
         tokenizer=tok,
@@ -93,10 +96,10 @@ def test_grpo_increases_reward():
     prompts = [
         {"sample": {"conversations": [{"role": "user", "content": "say the word"}],
                     "modalities": []},
-         "data_source": "contains", "ground_truth": target_word},
+         "data_source": "char_count", "ground_truth": target_char},
         {"sample": {"conversations": [{"role": "user", "content": "what now"}],
                     "modalities": []},
-         "data_source": "contains", "ground_truth": target_word},
+         "data_source": "char_count", "ground_truth": target_char},
     ]
 
     history = trainer.fit(prompts, num_steps=6)
@@ -104,6 +107,7 @@ def test_grpo_increases_reward():
     last = np.mean([h["reward_mean"] for h in history[-2:]])
     assert all(np.isfinite(h["loss"]) for h in history)
     assert last >= first  # reward should not decrease while optimizing it
+    assert last > 0  # the dense scorer must actually be learnable
 
 
 # ----------------------------------------------------------------------
