@@ -44,6 +44,12 @@ class EngineConfig:
     prefill_buckets: Tuple[int, ...] = (128, 256, 512, 1024)
     temperature: float = 0.7
     top_k: int = 0  # 0 = disabled
+    # Nucleus sampling default. 1.0 disables it AND compiles the samplers
+    # without the sort/cumsum filter (the common fast path); any value
+    # < 1.0 compiles the filter in, and requests may then override
+    # per-request via ``submit(top_p=...)`` (a per-slot device array, so
+    # no recompile per value — backs the UI slider).
+    top_p: float = 1.0
     do_sample: bool = True
     seed: int = 0
     attn_impl: Optional[str] = None
@@ -70,6 +76,7 @@ class Request:
     batch: Dict[str, Any]            # single-sample collated batch (B=1)
     max_new_tokens: int
     temperature: float
+    top_p: float = 1.0
     submit_time: float = 0.0
     first_token_time: Optional[float] = None
     finish_time: Optional[float] = None
@@ -152,6 +159,7 @@ class ServingEngine:
             "active": jnp.zeros((cfg.max_slots,), bool),
             "remaining": jnp.zeros((cfg.max_slots,), jnp.int32),
             "temps": jnp.full((cfg.max_slots,), cfg.temperature, jnp.float32),
+            "top_ps": jnp.full((cfg.max_slots,), cfg.top_p, jnp.float32),
             "seed": jnp.int32(cfg.seed),
         }
         if self.paged:
@@ -213,20 +221,42 @@ class ServingEngine:
     # ------------------------------------------------------------------
     # Compiled functions
     # ------------------------------------------------------------------
+    def _logits_filter(self):
+        """Engine-wide top-k / top-p logit filter (same semantics as
+        ``models.generation.sample_tokens``; reference UI exposes both,
+        `ui/app.py` sliders)."""
+        cfg = self.cfg
+
+        def filt(scaled, top_ps):
+            if cfg.top_k and cfg.top_k > 0:
+                kth = jax.lax.top_k(scaled, cfg.top_k)[0][..., -1:]
+                scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+            if cfg.top_p < 1.0:  # static gate; top_ps varies per slot
+                V = scaled.shape[-1]
+                sorted_logits = jnp.sort(scaled, axis=-1)[..., ::-1]
+                probs = jax.nn.softmax(sorted_logits, axis=-1)
+                cum = jnp.cumsum(probs, axis=-1)
+                # keep tokens until cumulative prob exceeds top_p (inclusive)
+                cutoff_idx = jnp.sum(cum < top_ps[:, None], axis=-1, keepdims=True)
+                cutoff = jnp.take_along_axis(
+                    sorted_logits, jnp.minimum(cutoff_idx, V - 1), axis=-1)
+                scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+            return scaled
+
+        return filt
+
     def _make_sampler(self):
         """(n, V) f32 logits + (n,) temps + seed -> (n,) int32 tokens,
         entirely in-graph (one device dispatch for a whole prefill group)."""
         cfg = self.cfg
+        filt = self._logits_filter()
 
-        def sample(logits, temps, seed):
+        def sample(logits, temps, top_ps, seed):
             logits = logits.astype(jnp.float32)
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             if not cfg.do_sample:
                 return greedy
-            scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
-            if cfg.top_k and cfg.top_k > 0:
-                kth = jax.lax.top_k(scaled, cfg.top_k)[0][..., -1:]
-                scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+            scaled = filt(logits / jnp.maximum(temps, 1e-6)[:, None], top_ps)
             key = jax.random.PRNGKey(seed)
             sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
             return jnp.where(temps > 1e-6, sampled, greedy)
@@ -243,7 +273,7 @@ class ServingEngine:
         sampler = self._make_sampler()
 
         def prefill(params, state, input_ids, attention_mask, mm_inputs, dest,
-                    slot_ids, page_rows, temps, budgets, seed):
+                    slot_ids, page_rows, temps, top_ps, budgets, seed):
             # Encode + splice + causal prefill of n requests into a fresh
             # local cache, then copy each written region into its slot
             # (slab: contiguous copy at ``dest``=slot ids; paged: one
@@ -300,7 +330,7 @@ class ServingEngine:
             last_logits = jnp.take_along_axis(
                 logits, (lengths - 1)[:, None, None], axis=1
             )[:, 0]
-            first_tokens = sampler(last_logits, temps, seed)
+            first_tokens = sampler(last_logits, temps, top_ps, seed)
             # a slot starts active unless the first token already ends it
             active_new = jnp.logical_and(first_tokens != eos, budgets > 1)
             state = {
@@ -312,6 +342,7 @@ class ServingEngine:
                 "active": state["active"].at[slot_ids].set(active_new),
                 "remaining": state["remaining"].at[slot_ids].set(budgets - 1),
                 "temps": state["temps"].at[slot_ids].set(temps),
+                "top_ps": state["top_ps"].at[slot_ids].set(top_ps),
             }
             if paged:
                 state["pages_length"] = (
@@ -349,7 +380,9 @@ class ServingEngine:
              "pages_length") if paged else ("k", "v", "length")
         )
 
-        def one_step(params, cache, tokens, active, temps, key):
+        filt = self._logits_filter()
+
+        def one_step(params, cache, tokens, active, temps, top_ps, key):
             embeds = jnp.take(params["llm"]["embed_tokens"], tokens, axis=0)[:, None, :]
             logits, new_cache = llama_forward(
                 params["llm"], llm,
@@ -361,10 +394,7 @@ class ServingEngine:
             logits = logits[:, 0].astype(jnp.float32)
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             if cfg.do_sample:
-                scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
-                if cfg.top_k and cfg.top_k > 0:
-                    kth = jax.lax.top_k(scaled, cfg.top_k)[0][..., -1:]
-                    scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+                scaled = filt(logits / jnp.maximum(temps, 1e-6)[:, None], top_ps)
                 sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
                 next_tokens = jnp.where(temps > 1e-6, sampled, greedy)
             else:
@@ -385,7 +415,8 @@ class ServingEngine:
                 cache, tokens, active, remaining, key = carry
                 key, sub = jax.random.split(key)
                 cache, next_tokens = one_step(
-                    params, cache, tokens, active, state["temps"], sub
+                    params, cache, tokens, active, state["temps"],
+                    state["top_ps"], sub
                 )
                 # the token just produced consumed one unit of budget;
                 # deactivate on EOS, exhausted budget, or a full cache
@@ -441,14 +472,22 @@ class ServingEngine:
         batch: Dict[str, Any],
         max_new_tokens: Optional[int] = None,
         temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
     ) -> Request:
         """Queue a single-sample collated batch (B=1, right-padded)."""
         assert batch["input_ids"].shape[0] == 1, "submit() takes B=1 batches"
+        if top_p is not None and top_p < 1.0 and self.cfg.top_p >= 1.0:
+            raise ValueError(
+                "per-request top_p needs the engine built with "
+                "EngineConfig(top_p < 1.0) so the nucleus filter is "
+                "compiled into the samplers"
+            )
         req = Request(
             request_id=self._next_id,
             batch=batch,
             max_new_tokens=max_new_tokens or self.cfg.max_new_tokens,
             temperature=self.cfg.temperature if temperature is None else temperature,
+            top_p=self.cfg.top_p if top_p is None else top_p,
             submit_time=time.time(),
         )
         if self.paged and self._required_pages(req) > self.num_pages - 1:
@@ -585,6 +624,7 @@ class ServingEngine:
         if key not in self._prefill_fns:
             self._prefill_fns[key] = self._build_prefill_fn(bucket, n)
         temps = np.asarray([r.temperature for r in group], np.float32)
+        top_ps = np.asarray([r.top_p for r in group], np.float32)
         budgets = np.asarray([r.max_new_tokens for r in group], np.int32)
         if self.paged:
             for req, slot in zip(group, slots):
@@ -601,7 +641,8 @@ class ServingEngine:
             jnp.asarray(dest),
             jnp.asarray(np.asarray(slots, np.int32)),
             jnp.asarray(page_rows),
-            jnp.asarray(temps), jnp.asarray(budgets), self._next_seed(),
+            jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(budgets),
+            self._next_seed(),
         )
         lengths = np.asarray(lengths)
         first_tokens = np.asarray(first_tokens)
@@ -642,7 +683,7 @@ class ServingEngine:
         sampler = self._make_sampler()
 
         def chunk_prefill(params, state, input_ids, attention_mask,
-                          mm_inputs, dest, start_len, temps, seed):
+                          mm_inputs, dest, start_len, temps, top_ps, seed):
             embeds = model.embed(params, input_ids, mm_inputs)
             if paged:
                 P, pm = self.page_size, self.pages_max
@@ -679,7 +720,7 @@ class ServingEngine:
             chunk_len = attention_mask.sum(axis=-1).astype(jnp.int32)
             last = jnp.take_along_axis(
                 logits, (chunk_len - 1)[:, None, None], axis=1)[:, 0]
-            return {**state, "k": k, "v": v}, sampler(last, temps, seed)
+            return {**state, "k": k, "v": v}, sampler(last, temps, top_ps, seed)
 
         return jax.jit(chunk_prefill, donate_argnums=(1,))
 
@@ -691,7 +732,7 @@ class ServingEngine:
             paged = self.paged
             eos = self.eos_id
 
-            def admit(state, slot, length, first_token, temp, budget,
+            def admit(state, slot, length, first_token, temp, top_p, budget,
                       page_row):
                 active_new = jnp.logical_and(first_token != eos, budget > 1)
                 state = {
@@ -701,6 +742,7 @@ class ServingEngine:
                     "active": state["active"].at[slot].set(active_new),
                     "remaining": state["remaining"].at[slot].set(budget - 1),
                     "temps": state["temps"].at[slot].set(temp),
+                    "top_ps": state["top_ps"].at[slot].set(top_p),
                 }
                 if paged:
                     state["pages_length"] = (
@@ -749,6 +791,7 @@ class ServingEngine:
         start = 0
         first_token = None
         temps = np.asarray([req.temperature], np.float32)
+        top_ps = np.asarray([req.top_p], np.float32)
         while start < plen:
             c = min(W, plen - start)
             bucket = next(b for b in self.cfg.prefill_buckets if c <= b)
@@ -765,7 +808,7 @@ class ServingEngine:
                 jnp.asarray(chunk_ids), jnp.asarray(chunk_mask),
                 self._chunk_mm(mm, start, c, bucket),
                 dest if self.paged else jnp.int32(slot), jnp.int32(start),
-                jnp.asarray(temps), self._next_seed(),
+                jnp.asarray(temps), jnp.asarray(top_ps), self._next_seed(),
             )
             start += c
 
@@ -774,8 +817,8 @@ class ServingEngine:
                     else np.zeros((1,), np.int32))
         self.state = self._get_admit_slot_fn()(
             self.state, jnp.int32(slot), jnp.int32(plen), jnp.int32(first),
-            jnp.float32(req.temperature), jnp.int32(req.max_new_tokens),
-            jnp.asarray(page_row),
+            jnp.float32(req.temperature), jnp.float32(req.top_p),
+            jnp.int32(req.max_new_tokens), jnp.asarray(page_row),
         )
         req.first_token_time = time.time()
         req.tokens.append(int(first))

@@ -115,3 +115,36 @@ def test_staggered_submission(setup):
         assert got[t] == ref[t]
         if ref[t] == model.config.eos_token_idx:
             break
+
+
+def test_top_p_sampling(setup):
+    """Per-request nucleus sampling: with a tiny top_p the filter keeps
+    only the argmax token, so sampling at high temperature must equal the
+    greedy decode; a fresh engine without the filter compiled must reject
+    per-request top_p overrides."""
+    model, params, collator = setup
+    engine = ServingEngine(
+        model, params,
+        EngineConfig(max_slots=2, max_seq_len=128, max_new_tokens=5,
+                     prefill_buckets=(32, 64), do_sample=True,
+                     temperature=5.0, top_p=0.95),
+    )
+    req = engine.submit(collator([PROMPTS[0]]), top_p=1e-6)
+    engine.run()
+    ref = np.asarray(
+        generate(model, params, collator([PROMPTS[0]]), max_new_tokens=5,
+                 do_sample=False)
+    )[0]
+    got = np.asarray(req.tokens)
+    for t in range(len(got)):
+        assert got[t] == ref[t], (t, got, ref)
+        if ref[t] == model.config.eos_token_idx:
+            break
+
+    plain = ServingEngine(
+        model, params,
+        EngineConfig(max_slots=2, max_seq_len=128, max_new_tokens=5,
+                     prefill_buckets=(32, 64)),
+    )
+    with pytest.raises(ValueError, match="top_p"):
+        plain.submit(collator([PROMPTS[0]]), top_p=0.9)

@@ -42,11 +42,14 @@ def main():
         EngineConfig(
             max_slots=cfg.get("serve", {}).get("max_slots", 4),
             max_seq_len=cfg.get("max_sequence_length") or 2048,
+            # < 1.0 compiles the nucleus filter in so the slider's
+            # per-request values work without recompiles
+            top_p=cfg.get("serve", {}).get("top_p", 0.95),
         ),
     )
     attachment_token = cfg["attachment_token"]
 
-    def chat_fn(message, history, image, temperature, max_tokens):
+    def chat_fn(message, history, image, temperature, top_p, max_tokens):
         conversations = []
         for user, assistant in history:
             conversations.append({"role": "user", "content": user})
@@ -61,7 +64,7 @@ def main():
         sample = {"conversations": conversations, "modalities": modalities}
         req = engine.submit(
             collator([sample]), max_new_tokens=int(max_tokens),
-            temperature=float(temperature),
+            temperature=float(temperature), top_p=float(top_p),
         )
         engine.run()
         return tokenizer.decode(
@@ -75,15 +78,17 @@ def main():
             image = gr.Image(type="pil", label="Attachment", scale=1)
         with gr.Row():
             temperature = gr.Slider(0.0, 2.0, value=0.7, label="Temperature")
+            top_p = gr.Slider(0.05, 1.0, value=0.95, step=0.05, label="Top-p")
             max_tokens = gr.Slider(16, 1024, value=256, step=16, label="Max new tokens")
         clear = gr.Button("New chat")
 
-        def respond(message, history, image, temperature, max_tokens):
-            reply = chat_fn(message, history, image, temperature, max_tokens)
+        def respond(message, history, image, temperature, top_p, max_tokens):
+            reply = chat_fn(message, history, image, temperature, top_p,
+                            max_tokens)
             history = history + [(message, reply)]
             return "", history, None
 
-        msg.submit(respond, [msg, chatbot, image, temperature, max_tokens],
+        msg.submit(respond, [msg, chatbot, image, temperature, top_p, max_tokens],
                    [msg, chatbot, image])
         clear.click(lambda: [], None, chatbot)
 
