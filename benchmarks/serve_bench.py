@@ -25,6 +25,7 @@ def main():
     parser.add_argument("--hidden", type=int, default=2048)
     parser.add_argument("--kv-mode", choices=("paged", "slab"), default="paged")
     parser.add_argument("--decode-chunk", type=int, default=8)
+    parser.add_argument("--quantize-llm", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -46,7 +47,7 @@ def main():
         model_type="meditron_clip", hidden_size=args.hidden, clip_name="",
         image_size=224, patch_size=16, vision_hidden_size=768,
         vision_layers=12, vision_heads=12, vision_intermediate_size=3072,
-        param_dtype="bfloat16",
+        param_dtype="bfloat16", wire_dtype="uint8",
     )
     model = MultimodalModel(MultimodalConfig(llm=llm, modalities=[img]))
     model.config.eos_token_idx = 1  # never sampled (random model emits junk)
@@ -62,6 +63,7 @@ def main():
             temperature=0.7,
             kv_mode=args.kv_mode,
             decode_chunk=args.decode_chunk,
+            quantize_llm=args.quantize_llm,
         ),
     )
 
@@ -76,7 +78,7 @@ def main():
             "attention_mask": np.ones_like(ids),
             "mm_inputs": {
                 "image": {
-                    "values": rng.normal(size=(1, 224, 224, 3)).astype(np.float32),
+                    "values": rng.integers(0, 256, (1, 224, 224, 3)).astype(np.uint8),
                     "batch_idx": np.zeros((n_emb,), np.int32),
                     "token_pos": pos,
                 }

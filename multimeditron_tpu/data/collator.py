@@ -144,7 +144,10 @@ class DataCollatorForMultimodal:
                     f"budget of {budget}"
                 )
             value_shape = processor.value_shape
-            values = np.zeros((budget, *value_shape), dtype=np.float32)
+            values = np.zeros(
+                (budget, *value_shape),
+                dtype=getattr(processor, "value_dtype", np.float32),
+            )
             batch_idx = np.full((budget * n_emb,), B, dtype=np.int32)  # B = drop
             token_pos = np.zeros((budget * n_emb,), dtype=np.int32)
             for i, (b, pm) in enumerate(items):

@@ -26,8 +26,14 @@ def preprocess_image(
     mean: Sequence[float] = CLIP_MEAN,
     std: Sequence[float] = CLIP_STD,
     resize_mode: str = "shortest_edge",  # clip: shortest_edge+crop; siglip: squash
+    normalize: bool = True,
 ) -> np.ndarray:
-    """PIL image -> normalized float32 NHWC array (H, W, 3)."""
+    """PIL image -> normalized float32 NHWC array (H, W, 3).
+
+    ``normalize=False`` stops after the geometric transform and returns
+    the uint8 pixels (the HF processors also resize in uint8 and only
+    then rescale/normalize) — the wire format for device-side
+    normalization (``ops/image_ops.py``), 4x fewer host->device bytes."""
     image = image.convert("RGB")
     if resize_mode == "shortest_edge":
         w, h = image.size
@@ -42,6 +48,8 @@ def preprocess_image(
     else:
         raise ValueError(f"Unknown resize_mode {resize_mode!r}")
 
+    if not normalize:
+        return np.asarray(image, dtype=np.uint8)  # (H, W, 3)
     arr = np.asarray(image, dtype=np.float32) / 255.0
     arr = (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
     return arr  # (H, W, 3)

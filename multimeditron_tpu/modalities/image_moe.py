@@ -74,6 +74,17 @@ class MOEImageProcessor(ImageProcessor):
             return base
         raise ValueError(f"Unknown fusion_method: {self.config.fusion_method}")
 
+    @property
+    def value_dtype(self):
+        # The gating ResNet + expert towers consume the host-normalized
+        # floats; the uint8 wire path is only wired through the
+        # single-tower modalities.
+        import numpy as np
+
+        if getattr(self.config, "wire_dtype", "float32") != "float32":
+            raise ValueError("MoE image modalities require wire_dtype='float32'")
+        return np.float32
+
 
 class _MOEBase(BaseModality):
     config_class = MOEImageConfig

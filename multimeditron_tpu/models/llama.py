@@ -44,6 +44,13 @@ class LlamaConfig:
     max_position_embeddings: int = 8192
     use_qk_norm: bool = False  # Qwen3-style per-head RMSNorm on q/k
     attention_bias: bool = False
+    # DeepSpeed-Ulysses-style sequence parallelism (training/prefill, no
+    # kv cache): activations carry an "sp" sharding constraint along the
+    # sequence outside attention and along HEADS inside it; XLA inserts
+    # the all-to-alls. Requires a mesh with an "sp" axis
+    # (parallel/mesh.py) in context; constraints are skipped silently
+    # when no mesh is active.
+    sequence_parallel: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -158,6 +165,27 @@ def init_paged_kv_cache(
     }
 
 
+def _sp_constrain(x: jax.Array, *spec) -> jax.Array:
+    """Best-effort sharding constraint: a no-op when traced outside a
+    mesh context (single-chip serving, CPU tests)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        return jax.lax.with_sharding_constraint(x, P(*spec))
+    except Exception:
+        return x
+
+
+def _proj(h: jax.Array, lp: Params, name: str) -> jax.Array:
+    """Projection matmul; dispatches to the weight-only int8 path when
+    the params tree was quantized (``models/llama_quant.py``)."""
+    if name + "_q" in lp:
+        from multimeditron_tpu.ops.wo_matmul import wo_matmul
+
+        return wo_matmul(h, lp[name + "_q"], lp[name + "_s"])
+    return h @ lp[name]
+
+
 def _layer(
     carry: Tuple[jax.Array, ...],
     layer_params: Params,
@@ -177,16 +205,25 @@ def _layer(
     B, S, D = x.shape
     H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
 
+    sp = cfg.sequence_parallel and layer_cache is None
+    if sp:
+        x = _sp_constrain(x, ("dp", "fsdp"), "sp", None)
     h = rms_norm(x, layer_params["input_norm"], cfg.rms_norm_eps)
-    q = (h @ layer_params["q_proj"]).reshape(B, S, H, Dh)
-    k = (h @ layer_params["k_proj"]).reshape(B, S, Hkv, Dh)
-    v = (h @ layer_params["v_proj"]).reshape(B, S, Hkv, Dh)
+    q = _proj(h, layer_params, "q_proj").reshape(B, S, H, Dh)
+    k = _proj(h, layer_params, "k_proj").reshape(B, S, Hkv, Dh)
+    v = _proj(h, layer_params, "v_proj").reshape(B, S, Hkv, Dh)
     if cfg.use_qk_norm:
         q = rms_norm(q, layer_params["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer_params["k_norm"], cfg.rms_norm_eps)
     q = q.transpose(0, 2, 1, 3)  # (B,H,S,Dh)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
+    if sp:
+        # Ulysses all-to-all: sequence-sharded -> head-sharded (heads
+        # split over tp AND sp inside attention, full sequence visible)
+        q = _sp_constrain(q, ("dp", "fsdp"), ("tp", "sp"), None, None)
+        k = _sp_constrain(k, ("dp", "fsdp"), ("tp", "sp"), None, None)
+        v = _sp_constrain(v, ("dp", "fsdp"), ("tp", "sp"), None, None)
 
     q = apply_rope(q, position_ids, inv_freq)
     k = apply_rope(k, position_ids, inv_freq)
@@ -262,12 +299,15 @@ def _layer(
         out = attention(q, k, v, kv_mask=kv_mask, causal=True, impl=attn_impl)
 
     out = out.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
-    x = x + out @ layer_params["o_proj"]
+    if sp:
+        # back to sequence sharding for the MLP/residual stream
+        out = _sp_constrain(out, ("dp", "fsdp"), "sp", None)
+    x = x + _proj(out, layer_params, "o_proj")
 
     h = rms_norm(x, layer_params["post_attn_norm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu((h @ layer_params["gate_proj"]).astype(jnp.float32))
-    up = (h @ layer_params["up_proj"]).astype(jnp.float32)
-    x = x + ((gate * up).astype(h.dtype) @ layer_params["down_proj"])
+    gate = jax.nn.silu(_proj(h, layer_params, "gate_proj").astype(jnp.float32))
+    up = _proj(h, layer_params, "up_proj").astype(jnp.float32)
+    x = x + _proj((gate * up).astype(h.dtype), layer_params, "down_proj")
     return x, new_cache
 
 
@@ -353,7 +393,11 @@ def llama_forward(
         new_caches = cache_carry
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    if cfg.tie_word_embeddings:
+    if "lm_head_q" in params:
+        from multimeditron_tpu.ops.wo_matmul import wo_matmul
+
+        logits = wo_matmul(x, params["lm_head_q"], params["lm_head_s"])
+    elif cfg.tie_word_embeddings:
         logits = x @ params["embed_tokens"].T
     else:
         logits = x @ params["lm_head"]

@@ -65,6 +65,12 @@ class EngineConfig:
     # "slab": contiguous per-slot buffers of max_seq_len.
     kv_mode: str = "paged"
     page_size: int = 128
+    # Weight-only int8 LLM (W8A16): projections + lm_head stored int8
+    # with per-channel scales, dequantized inside a streaming Pallas
+    # matmul on the decode path (decode is weight-read bound — halving
+    # weight bytes ≈ halves the per-step floor). Near-lossless; the
+    # image tower has its own opt-in (modality ``quantize_params``).
+    quantize_llm: bool = False
     # Pool pages (incl. the reserved trash page 0). Default sizes the pool
     # to the slab capacity; set lower to cap KV memory.
     num_pages: Optional[int] = None
@@ -96,10 +102,17 @@ class Request:
 class ServingEngine:
     def __init__(self, model: MultimodalModel, params: Dict[str, Any], cfg: EngineConfig):
         self.model = model
-        self.params = params
         self.cfg = cfg
         llm = model.config.llm
         self.eos_id = model.config.eos_token_idx
+        if cfg.quantize_llm:
+            from multimeditron_tpu.models.llama_quant import (
+                quantize_llama_params,
+            )
+
+            params = {**params,
+                      "llm": quantize_llama_params(params["llm"], llm)}
+        self.params = params
 
         if cfg.kv_mode not in ("paged", "slab"):
             raise ValueError(f"kv_mode must be paged|slab, got {cfg.kv_mode!r}")

@@ -225,3 +225,67 @@ def test_config_roundtrip():
     assert len(cfg2.modalities) == 1
     assert cfg2.modalities[0].model_type == "meditron_clip"
     assert cfg2.modalities[0].image_size == 16
+
+
+def test_uint8_wire_format_bit_identical():
+    """wire_dtype='uint8' ships raw resized pixels and normalizes on
+    device; the encoded features must be bit-identical to the host-
+    normalized float32 path (same f32 math, same op order)."""
+    import dataclasses
+
+    from PIL import Image as PILImage
+
+    cfg_f32 = tiny_image_config()
+    cfg_u8 = dataclasses.replace(cfg_f32, wire_dtype="uint8")
+    m_f32 = AutoModality.from_config(cfg_f32)
+    m_u8 = AutoModality.from_config(cfg_u8)
+    params = m_f32.init_params(jax.random.PRNGKey(3))
+
+    rng = np.random.default_rng(0)
+    img = PILImage.fromarray(
+        rng.integers(0, 256, (30, 22, 3), dtype=np.uint8))
+
+    p_f32 = m_f32.processor_class(cfg_f32).process({"type": "image", "value": img})
+    p_u8 = m_u8.processor_class(cfg_u8).process({"type": "image", "value": img})
+    assert p_u8["value"].dtype == np.uint8
+    assert p_f32["value"].dtype == np.float32
+
+    f_f32 = np.asarray(m_f32.encode(params, jnp.asarray(p_f32["value"][None])))
+    f_u8 = np.asarray(m_u8.encode(params, jnp.asarray(p_u8["value"][None])))
+    np.testing.assert_array_equal(f_f32, f_u8)
+
+
+def test_uint8_wire_collates_and_generates(collator, params):
+    """End-to-end: a uint8-wire model collates (uint8 value arrays) and
+    generates the same greedy tokens as the float32-wire model."""
+    import dataclasses
+
+    from multimeditron_tpu.models.generation import generate
+
+    llm = tiny_mm_config().llm
+    cfg_u8 = dataclasses.replace(tiny_image_config(), wire_dtype="uint8")
+    model_u8 = MultimodalModel(MultimodalConfig(llm=llm, modalities=[cfg_u8]))
+    model_u8.config.eos_token_idx = 2
+    tok = ToyTokenizer()
+    coll_u8 = DataCollatorForMultimodal(
+        tokenizer=tok,
+        modality_processors=model_u8.processors(),
+        modality_loaders={"image": AutoModalityLoader.create("raw-image")},
+        attachment_token=ATTACH,
+        chat_template=ChatTemplate.llama(),
+        pad_to_multiple=16,
+    )
+    sample = {
+        "conversations": [{"role": "user", "content": f"look {ATTACH} now"}],
+        "modalities": [{"type": "image", "value": _img((120, 10, 200))}],
+    }
+    b_u8 = coll_u8([sample])
+    assert b_u8["mm_inputs"]["image"]["values"].dtype == np.uint8
+    got = np.asarray(generate(model_u8, params, b_u8, max_new_tokens=4,
+                              do_sample=False))[0]
+    b_f32 = collator([sample])
+    model_f32 = MultimodalModel(tiny_mm_config())
+    model_f32.config.eos_token_idx = 2
+    want = np.asarray(generate(model_f32, params, b_f32, max_new_tokens=4,
+                               do_sample=False))[0]
+    np.testing.assert_array_equal(got, want)
