@@ -9,9 +9,16 @@ under GSPMD: a ``jax.sharding.Mesh`` with axes
           equivalent; rides ICI)
   tp    — tensor parallel (Megatron-style head/ffn sharding; innermost,
           fastest ICI axis)
+  sp    — sequence parallel (DeepSpeed-Ulysses style: activations shard
+          along the sequence outside attention, along heads inside it;
+          XLA inserts the all-to-alls — set
+          ``LlamaConfig.sequence_parallel`` to emit the constraints)
+  ep    — expert parallel (MoE vision-expert stacks shard their leading
+          expert axis)
 
-Collectives are compiler-inserted (psum / all-gather / reduce-scatter) —
-there is no NCCL analogue to manage.
+Collectives are compiler-inserted (psum / all-gather / reduce-scatter /
+all-to-all) — there is no NCCL analogue to manage. ``sp`` and ``ep``
+default to size 1, so three-axis callers are unaffected.
 """
 
 from __future__ import annotations
@@ -22,32 +29,37 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-MESH_AXES = ("dp", "fsdp", "tp")
+MESH_AXES = ("dp", "fsdp", "tp", "sp", "ep")
 
 
 def make_mesh(
     dp: Optional[int] = None,
     fsdp: Optional[int] = None,
     tp: int = 1,
+    sp: int = 1,
+    ep: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (dp, fsdp, tp) mesh over the available devices.
+    """Build a (dp, fsdp, tp, sp, ep) mesh over the available devices.
 
-    Unspecified axes are inferred: tp defaults to 1, fsdp soaks up the
-    remaining devices, dp defaults to 1.
+    Unspecified axes are inferred: tp/sp/ep default to 1, fsdp soaks up
+    the remaining devices, dp defaults to 1.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    rest = tp * sp * ep
     if fsdp is None and dp is None:
-        dp, fsdp = 1, n // tp
+        dp, fsdp = 1, n // rest
     elif fsdp is None:
-        fsdp = n // (dp * tp)
+        fsdp = n // (dp * rest)
     elif dp is None:
-        dp = n // (fsdp * tp)
-    need = dp * fsdp * tp
+        dp = n // (fsdp * rest)
+    need = dp * fsdp * rest
     if need > n:
-        raise ValueError(f"Mesh {dp}x{fsdp}x{tp} needs {need} devices, have {n}")
-    arr = np.asarray(devices[:need]).reshape(dp, fsdp, tp)
+        raise ValueError(
+            f"Mesh {dp}x{fsdp}x{tp}x{sp}x{ep} needs {need} devices, have {n}"
+        )
+    arr = np.asarray(devices[:need]).reshape(dp, fsdp, tp, sp, ep)
     return Mesh(arr, MESH_AXES)
 
 

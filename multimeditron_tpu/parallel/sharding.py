@@ -68,9 +68,15 @@ def _path_str(path) -> str:
 
 
 def spec_for_path(path_str: str, ndim: int) -> P:
+    # MoE expert stacks ("embedder/experts/...", "projector/projectors/
+    # ...") carry a leading expert axis: the suffix rules below govern
+    # the inner dims and the expert axis shards over "ep".
+    expert_stacked = ("experts/" in path_str) or ("projectors/" in path_str)
     for pattern, spec in _RULES:
         if re.search(pattern, path_str):
             if spec is None:
+                if expert_stacked and ndim >= 1:
+                    return P(*(("ep",) + (None,) * (ndim - 1)))
                 return P()
             # Trim or left-pad the spec to the array rank.
             entries = tuple(spec)
@@ -78,15 +84,35 @@ def spec_for_path(path_str: str, ndim: int) -> P:
                 entries = entries[-ndim:]
             elif len(entries) < ndim:
                 entries = (None,) * (ndim - len(entries)) + entries
+            if expert_stacked and ndim >= 1 and entries[0] is None:
+                entries = ("ep",) + entries[1:]
             return P(*entries)
     return P()
+
+
+def _fit_spec(spec: P, shape: Tuple[int, ...], mesh: Mesh) -> P:
+    """Drop mesh axes that don't divide the dim they shard — device_put
+    requires exact divisibility (no GSPMD padding for committed arrays).
+    E.g. an E=3 expert stack on an ep=2 mesh stays replicated over ep."""
+    entries = []
+    for i, entry in enumerate(spec):
+        if entry is not None:
+            axes = entry if isinstance(entry, tuple) else (entry,)
+            size = 1
+            for a in axes:
+                size *= mesh.shape[a]
+            if shape[i] % size != 0:
+                entry = None
+        entries.append(entry)
+    return P(*entries)
 
 
 def param_sharding_rules(params: Params, mesh: Mesh) -> Params:
     """Pytree of NamedShardings matching ``params``."""
 
     def leaf_sharding(path, leaf):
-        return NamedSharding(mesh, spec_for_path(_path_str(path), leaf.ndim))
+        spec = spec_for_path(_path_str(path), leaf.ndim)
+        return NamedSharding(mesh, _fit_spec(spec, leaf.shape, mesh))
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, params)
 

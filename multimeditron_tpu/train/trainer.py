@@ -58,6 +58,10 @@ class TrainerConfig:
     dp: Optional[int] = None
     fsdp: Optional[int] = None
     tp: int = 1
+    # sequence parallel (Ulysses): also sets LlamaConfig.sequence_parallel
+    sp: int = 1
+    # expert parallel: shards MoE vision-expert stacks (parallel/sharding.py)
+    ep: int = 1
     # compute
     remat: bool = True
     attn_impl: Optional[str] = None
@@ -130,7 +134,16 @@ class MultimodalTrainer:
     ):
         self.model = model
         self.cfg = config
-        self.mesh = mesh or make_mesh(dp=config.dp, fsdp=config.fsdp, tp=config.tp)
+        self.mesh = mesh or make_mesh(dp=config.dp, fsdp=config.fsdp,
+                                      tp=config.tp, sp=config.sp,
+                                      ep=config.ep)
+        if config.sp > 1 and not model.config.llm.sequence_parallel:
+            # LlamaConfig is frozen; swap in an sp-enabled copy so the
+            # forward emits the Ulysses sharding constraints
+            import dataclasses as _dc
+
+            model.config.llm = _dc.replace(
+                model.config.llm, sequence_parallel=True)
         self.param_shardings = param_sharding_rules(params, self.mesh)
         self.params = shard_params(params, self.mesh)
         self.trainable_mask = model.trainable_mask(params, config.training_mode)

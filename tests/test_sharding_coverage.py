@@ -35,7 +35,7 @@ class PassthroughAudioLoader(BaseModalityLoader):
         return modality["value"]
 
 
-def _moe_audio_model():
+def _moe_audio_model(num_experts=3):
     llm = LlamaConfig(
         vocab_size=4096, hidden_size=64, intermediate_size=128,
         num_layers=2, num_heads=4, num_kv_heads=2, dtype=jnp.float32,
@@ -50,7 +50,7 @@ def _moe_audio_model():
         vision_heads=4,
         vision_intermediate_size=48,
         param_dtype="float32",
-        num_experts=3,
+        num_experts=num_experts,
         fusion_method="weighted_average",
         generalist_idx=-1,
         gating_resnet_depth=18,
@@ -138,3 +138,103 @@ def test_moe_whisper_params_shard_and_train():
     # A second step still works (donated/sharded state round-trips).
     metrics2 = trainer.train_step(batch)
     assert np.isfinite(float(metrics2["loss"]))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sp_ep_mesh_trains():
+    """Sequence-parallel (Ulysses constraints) + expert-parallel: a MoE
+    model trains on a fsdp2 x sp2 x ep2 mesh; the expert stacks shard
+    their LEADING expert axis over ep, and sp>1 sets
+    LlamaConfig.sequence_parallel so the forward emits the
+    seq<->head all-to-all constraints."""
+    model = _moe_audio_model(num_experts=4)
+    params = model.init_params(jax.random.PRNGKey(1))
+    trainer = MultimodalTrainer(
+        model, params,
+        TrainerConfig(
+            learning_rate=1e-3, min_lr=1e-4, total_steps=2,
+            training_mode=TrainingMode.END2END,
+            dp=1, fsdp=2, tp=1, sp=2, ep=2, remat=True,
+            output_dir="/tmp/mmt_shard_spep_ckpt",
+        ),
+    )
+    assert model.config.llm.sequence_parallel
+
+    experts = trainer.params["modalities"]["image"]["embedder"]["experts"]
+    spec = trainer.param_shardings["modalities"]["image"]["embedder"][
+        "experts"]["layers"]["fc1"].spec
+    assert spec[0] == "ep", spec
+    # E=4 over ep=2: each device holds 2 experts
+    assert experts["layers"]["fc1"].addressable_shards[0].data.shape[0] == 2
+
+    collator = DataCollatorForMultimodal(
+        tokenizer=ToyTokenizer(),
+        modality_processors=model.processors(),
+        modality_loaders={
+            "image": AutoModalityLoader.create("raw-image"),
+            "audio": PassthroughAudioLoader(),
+        },
+        attachment_token=ATTACH,
+        chat_template=ChatTemplate.llama(),
+        pad_to_multiple=16,
+        modality_budgets={"image": 2, "audio": 2},
+    )
+    audio_wave = np.sin(np.linspace(0, 400, 16000)).astype(np.float32)
+    samples = [
+        {
+            "conversations": [
+                {"role": "user",
+                 "content": f"see {ATTACH} hear {ATTACH}"},
+                {"role": "assistant", "content": f"reply {i}"},
+            ],
+            "modalities": [
+                {"type": "image", "value": _img((30 * i, 99, 10))},
+                {"type": "audio", "value": audio_wave},
+            ],
+        }
+        for i in range(2)
+    ]
+    batch = collator(samples)
+    m1 = trainer.train_step(batch)
+    assert np.isfinite(float(m1["loss"]))
+    m2 = trainer.train_step(batch)
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_sp_constraints_noop_without_mesh():
+    """sequence_parallel=True must not break single-device tracing (the
+    constraint helper is a no-op outside a mesh context)."""
+    import dataclasses
+
+    from multimeditron_tpu.models.llama import init_llama_params, llama_forward
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_layers=1, num_heads=4, num_kv_heads=2, dtype=jnp.float32,
+        sequence_parallel=True,
+    )
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    logits, _ = jax.jit(
+        lambda p, i: llama_forward(p, cfg, input_ids=i)
+    )(params, ids)
+    base_cfg = dataclasses.replace(cfg, sequence_parallel=False)
+    ref, _ = llama_forward(params, base_cfg, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_non_divisible_expert_axis_replicates():
+    """device_put requires exact divisibility — an E=3 expert stack on an
+    ep=2 mesh must fall back to replication over ep (not crash)."""
+    from multimeditron_tpu.parallel.mesh import make_mesh
+    from multimeditron_tpu.parallel.sharding import param_sharding_rules
+
+    model = _moe_audio_model(num_experts=3)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(dp=1, fsdp=2, tp=1, sp=1, ep=2,
+                     devices=jax.devices()[:4])
+    shardings = param_sharding_rules(params, mesh)
+    spec = shardings["modalities"]["image"]["embedder"][
+        "experts"]["layers"]["fc1"].spec
+    assert spec[0] is None, spec  # 3 % 2 != 0 -> replicated over ep
