@@ -124,3 +124,33 @@ def build_collator(config: Dict[str, Any], model, tokenizer, chat_template,
         max_sequence_length=config.get("max_sequence_length"),
         modality_budgets=ccfg.get("modality_budgets"),
     )
+
+
+def engine_config_from_cfg(config: Dict[str, Any], **overrides):
+    """EngineConfig from the YAML ``serve:`` section.
+
+    Every ``EngineConfig`` field may appear under ``serve:`` (e.g.
+    ``quantize_llm: true``, ``kv_mode: paged``, ``decode_chunk: 16``,
+    ``top_p: 0.95``); explicit keyword overrides (CLI flags) win.
+    ``max_seq_len`` falls back to the top-level ``max_sequence_length``.
+    Unknown ``serve:`` keys raise, so typos don't silently no-op."""
+    import dataclasses
+
+    from multimeditron_tpu.serve.engine import EngineConfig
+
+    fields = {f.name for f in dataclasses.fields(EngineConfig)}
+    serve = dict(config.get("serve", {}))
+    unknown = set(serve) - fields
+    if unknown:
+        raise ValueError(
+            f"Unknown serve: config keys {sorted(unknown)}; "
+            f"valid keys: {sorted(fields)}"
+        )
+    kwargs: Dict[str, Any] = {}
+    if config.get("max_sequence_length"):
+        kwargs["max_seq_len"] = config["max_sequence_length"]
+    kwargs.update(serve)
+    kwargs.update({k: v for k, v in overrides.items() if v is not None})
+    if "prefill_buckets" in kwargs:
+        kwargs["prefill_buckets"] = tuple(kwargs["prefill_buckets"])
+    return EngineConfig(**kwargs)

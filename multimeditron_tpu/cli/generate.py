@@ -50,17 +50,16 @@ def _load_model_and_collator(cfg, add_generation_prompt=True):
 @click.option("--greedy", is_flag=True)
 def generate(config, input_path, output, max_new_tokens, temperature, greedy):
     """Batch inference over a JSONL of samples."""
-    from multimeditron_tpu.cli.common import load_config
-    from multimeditron_tpu.serve.engine import EngineConfig, ServingEngine
+    from multimeditron_tpu.cli.common import engine_config_from_cfg, load_config
+    from multimeditron_tpu.serve.engine import ServingEngine
     from multimeditron_tpu.utils.jsonl import JSONLGenerator
 
     cfg = load_config(config)
     model, params, tokenizer, collator = _load_model_and_collator(cfg)
     engine = ServingEngine(
         model, params,
-        EngineConfig(
-            max_slots=cfg.get("serve", {}).get("max_slots", 8),
-            max_seq_len=cfg.get("max_sequence_length") or 2048,
+        engine_config_from_cfg(
+            cfg,
             max_new_tokens=max_new_tokens,
             temperature=temperature,
             do_sample=not greedy,
@@ -91,16 +90,15 @@ def serve(config, max_new_tokens, temperature):
     """Interactive chat through the continuous-batching engine
     (reference Gradio UI capability, ``ui/app.py``: per-turn image
     attachments via ``/image <path>``, sampling controls, ``/new`` reset)."""
-    from multimeditron_tpu.cli.common import load_config
-    from multimeditron_tpu.serve.engine import EngineConfig, ServingEngine
+    from multimeditron_tpu.cli.common import engine_config_from_cfg, load_config
+    from multimeditron_tpu.serve.engine import ServingEngine
 
     cfg = load_config(config)
     model, params, tokenizer, collator = _load_model_and_collator(cfg)
     engine = ServingEngine(
         model, params,
-        EngineConfig(
-            max_slots=cfg.get("serve", {}).get("max_slots", 4),
-            max_seq_len=cfg.get("max_sequence_length") or 2048,
+        engine_config_from_cfg(
+            cfg,
             max_new_tokens=max_new_tokens,
             temperature=temperature,
         ),

@@ -245,3 +245,34 @@ def test_cli_rlhf_dryrun(workdir, tmp_path):
                                 catch_exceptions=False)
     assert result.exit_code == 0, result.output
     assert "dryrun OK" in result.output
+
+
+def test_engine_config_from_cfg():
+    """Every EngineConfig knob is reachable from the YAML serve: section
+    (quantize_llm, kv_mode, decode_chunk, ...); CLI overrides win;
+    unknown keys raise instead of silently no-opping."""
+    from multimeditron_tpu.cli.common import engine_config_from_cfg
+
+    cfg = {
+        "max_sequence_length": 4096,
+        "serve": {
+            "max_slots": 16,
+            "quantize_llm": True,
+            "kv_mode": "paged",
+            "decode_chunk": 16,
+            "top_p": 0.9,
+            "prefill_buckets": [128, 512],
+        },
+    }
+    ec = engine_config_from_cfg(cfg, temperature=0.3, max_new_tokens=None)
+    assert ec.max_seq_len == 4096
+    assert ec.max_slots == 16
+    assert ec.quantize_llm is True
+    assert ec.decode_chunk == 16
+    assert ec.top_p == 0.9
+    assert ec.prefill_buckets == (128, 512)
+    assert ec.temperature == 0.3          # override wins
+    assert ec.max_new_tokens == 512       # None override = keep default
+
+    with pytest.raises(ValueError, match="quantize_lm"):
+        engine_config_from_cfg({"serve": {"quantize_lm": True}})

@@ -31,22 +31,16 @@ def main():
             "chat instead:  mmt serve -c " + args.config
         )
 
-    from multimeditron_tpu.cli.common import load_config
+    from multimeditron_tpu.cli.common import engine_config_from_cfg, load_config
     from multimeditron_tpu.cli.generate import _load_model_and_collator
-    from multimeditron_tpu.serve.engine import EngineConfig, ServingEngine
+    from multimeditron_tpu.serve.engine import ServingEngine
 
     cfg = load_config(args.config)
     model, params, tokenizer, collator = _load_model_and_collator(cfg)
-    engine = ServingEngine(
-        model, params,
-        EngineConfig(
-            max_slots=cfg.get("serve", {}).get("max_slots", 4),
-            max_seq_len=cfg.get("max_sequence_length") or 2048,
-            # < 1.0 compiles the nucleus filter in so the slider's
-            # per-request values work without recompiles
-            top_p=cfg.get("serve", {}).get("top_p", 0.95),
-        ),
-    )
+    # top_p < 1.0 compiles the nucleus filter in so the slider's
+    # per-request values work without recompiles
+    cfg.setdefault("serve", {}).setdefault("top_p", 0.95)
+    engine = ServingEngine(model, params, engine_config_from_cfg(cfg))
     attachment_token = cfg["attachment_token"]
 
     def chat_fn(message, history, image, temperature, top_p, max_tokens):
