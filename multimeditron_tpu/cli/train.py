@@ -77,7 +77,8 @@ def train(ctx, config: str, seed: int = 0, resume: bool = False):
     tp = mesh_cfg.get("tp", 1)
     dp = mesh_cfg.get("dp")
     fsdp = mesh_cfg.get("fsdp")
-    n_data = (dp or 1) * (fsdp or (jax.device_count() // ((dp or 1) * tp)))
+    rest = tp * mesh_cfg.get("sp", 1) * mesh_cfg.get("ep", 1) * mesh_cfg.get("pp", 1)
+    n_data = (dp or 1) * (fsdp or (jax.device_count() // ((dp or 1) * rest)))
     batch_size = ta.get("per_device_train_batch_size", 4) * max(1, n_data)
     epochs = ta.get("num_train_epochs", 1)
     steps_per_epoch = max(1, len(dataset) // batch_size)
@@ -95,6 +96,10 @@ def train(ctx, config: str, seed: int = 0, resume: bool = False):
         dp=mesh_cfg.get("dp"),
         fsdp=mesh_cfg.get("fsdp"),
         tp=mesh_cfg.get("tp", 1),
+        sp=mesh_cfg.get("sp", 1),
+        ep=mesh_cfg.get("ep", 1),
+        pp=mesh_cfg.get("pp", 1),
+        pp_microbatches=mesh_cfg.get("pp_microbatches"),
         remat=ta.get("gradient_checkpointing", True),
         log_every=ta.get("logging_steps", 1),
         save_every=_resolve_save_steps(ta, total_steps),

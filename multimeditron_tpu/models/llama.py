@@ -51,6 +51,14 @@ class LlamaConfig:
     # (parallel/mesh.py) in context; constraints are skipped silently
     # when no mesh is active.
     sequence_parallel: bool = False
+    # GPipe pipeline parallelism over the "pp" mesh axis
+    # (parallel/pipeline.py): layer stack sharded into `pipeline_parallel`
+    # contiguous stages, microbatches flow via ppermute. Training/prefill
+    # only (the kv-cache decode paths ignore it). num_layers must divide
+    # evenly; the batch must divide `pipeline_microbatches` (default:
+    # one microbatch per stage).
+    pipeline_parallel: int = 1
+    pipeline_microbatches: Optional[int] = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -323,12 +331,17 @@ def llama_forward(
     remat: bool = False,
     prefill: bool = False,
     page_size: Optional[int] = None,
+    mesh: Optional[Any] = None,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
     """Run the decoder. Returns (logits, updated_kv_cache_or_None).
 
     A ``kv_cache`` carrying a ``page_table`` runs the PAGED decode path
     (``page_size`` must then be passed as a STATIC int — it shapes the
-    Pallas grid and must not be a traced leaf of the cache pytree)."""
+    Pallas grid and must not be a traced leaf of the cache pytree).
+
+    With ``cfg.pipeline_parallel > 1`` (and no kv cache) the layer stack
+    runs as a GPipe pipeline over the mesh's "pp" axis — pass the
+    ``mesh`` explicitly (the trainer does)."""
     if inputs_embeds is None:
         inputs_embeds = embed_tokens(params, input_ids)
     x = inputs_embeds
@@ -351,15 +364,30 @@ def llama_forward(
         raise ValueError("paged kv_cache requires a static page_size argument")
 
     if kv_cache is None:
-        def scan_body(x, layer_params):
-            x, _ = _layer(
-                (x, *carry_consts), layer_params, None, cfg, attn_impl,
-                prefill=prefill,
+        if cfg.pipeline_parallel > 1:
+            if mesh is None:
+                raise ValueError(
+                    "pipeline_parallel > 1 requires passing the mesh to "
+                    "llama_forward (see parallel/pipeline.py)"
+                )
+            from multimeditron_tpu.parallel.pipeline import (
+                pipeline_decoder_layers,
             )
-            return x, None
 
-        body = jax.checkpoint(scan_body) if remat else scan_body
-        x, _ = jax.lax.scan(body, x, params["layers"])
+            x = pipeline_decoder_layers(
+                params["layers"], x, position_ids, attention_mask, cfg,
+                mesh, attn_impl=attn_impl, remat=remat,
+            )
+        else:
+            def scan_body(x, layer_params):
+                x, _ = _layer(
+                    (x, *carry_consts), layer_params, None, cfg, attn_impl,
+                    prefill=prefill,
+                )
+                return x, None
+
+            body = jax.checkpoint(scan_body) if remat else scan_body
+            x, _ = jax.lax.scan(body, x, params["layers"])
         new_caches = None
     else:
         # The stacked cache arrays ride the CARRY (not xs/ys): the while

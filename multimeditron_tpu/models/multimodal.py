@@ -199,8 +199,11 @@ class MultimodalModel:
         batch: Dict[str, Any],
         attn_impl: Optional[str] = None,
         remat: bool = False,
+        mesh: Optional[Any] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
-        """Returns (logits, loss_or_None). ``batch`` comes from the collator."""
+        """Returns (logits, loss_or_None). ``batch`` comes from the collator.
+        ``mesh`` is required only when the LLM runs pipeline-parallel
+        (``LlamaConfig.pipeline_parallel > 1``, parallel/pipeline.py)."""
         inputs_embeds = self.embed(
             params, batch["input_ids"], batch.get("mm_inputs")
         )
@@ -212,6 +215,7 @@ class MultimodalModel:
             position_ids=batch.get("position_ids"),
             attn_impl=attn_impl,
             remat=remat,
+            mesh=mesh,
         )
         loss = None
         if batch.get("labels") is not None:

@@ -15,9 +15,12 @@ under GSPMD: a ``jax.sharding.Mesh`` with axes
           ``LlamaConfig.sequence_parallel`` to emit the constraints)
   ep    — expert parallel (MoE vision-expert stacks shard their leading
           expert axis)
+  pp    — pipeline parallel (GPipe schedule over the decoder layer stack,
+          ``parallel/pipeline.py``; stage-to-stage ppermute hops — outer
+          axis, tolerates the slowest links)
 
 Collectives are compiler-inserted (psum / all-gather / reduce-scatter /
-all-to-all) — there is no NCCL analogue to manage. ``sp`` and ``ep``
+all-to-all) — there is no NCCL analogue to manage. ``sp``/``ep``/``pp``
 default to size 1, so three-axis callers are unaffected.
 """
 
@@ -29,7 +32,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-MESH_AXES = ("dp", "fsdp", "tp", "sp", "ep")
+MESH_AXES = ("pp", "dp", "fsdp", "tp", "sp", "ep")
 
 
 def make_mesh(
@@ -38,16 +41,17 @@ def make_mesh(
     tp: int = 1,
     sp: int = 1,
     ep: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (dp, fsdp, tp, sp, ep) mesh over the available devices.
+    """Build a (pp, dp, fsdp, tp, sp, ep) mesh over the available devices.
 
-    Unspecified axes are inferred: tp/sp/ep default to 1, fsdp soaks up
+    Unspecified axes are inferred: tp/sp/ep/pp default to 1, fsdp soaks up
     the remaining devices, dp defaults to 1.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    rest = tp * sp * ep
+    rest = tp * sp * ep * pp
     if fsdp is None and dp is None:
         dp, fsdp = 1, n // rest
     elif fsdp is None:
@@ -57,9 +61,9 @@ def make_mesh(
     need = dp * fsdp * rest
     if need > n:
         raise ValueError(
-            f"Mesh {dp}x{fsdp}x{tp}x{sp}x{ep} needs {need} devices, have {n}"
+            f"Mesh pp{pp}x{dp}x{fsdp}x{tp}x{sp}x{ep} needs {need} devices, have {n}"
         )
-    arr = np.asarray(devices[:need]).reshape(dp, fsdp, tp, sp, ep)
+    arr = np.asarray(devices[:need]).reshape(pp, dp, fsdp, tp, sp, ep)
     return Mesh(arr, MESH_AXES)
 
 

@@ -67,16 +67,25 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def spec_for_path(path_str: str, ndim: int) -> P:
+def spec_for_path(path_str: str, ndim: int, pp: bool = False) -> P:
     # MoE expert stacks ("embedder/experts/...", "projector/projectors/
     # ...") carry a leading expert axis: the suffix rules below govern
     # the inner dims and the expert axis shards over "ep".
     expert_stacked = ("experts/" in path_str) or ("projectors/" in path_str)
+    # Pipeline parallelism shards the DECODER layer stack's leading axis
+    # over "pp" (parallel/pipeline.py). Modality towers (which reuse the
+    # same layer-param names) are never pipelined, so exclude them.
+    pp_stacked = (
+        pp and "layers/" in path_str and "modalities/" not in path_str
+        and not expert_stacked
+    )
     for pattern, spec in _RULES:
         if re.search(pattern, path_str):
             if spec is None:
                 if expert_stacked and ndim >= 1:
                     return P(*(("ep",) + (None,) * (ndim - 1)))
+                if pp_stacked and ndim >= 1:
+                    return P(*(("pp",) + (None,) * (ndim - 1)))
                 return P()
             # Trim or left-pad the spec to the array rank.
             entries = tuple(spec)
@@ -86,6 +95,8 @@ def spec_for_path(path_str: str, ndim: int) -> P:
                 entries = (None,) * (ndim - len(entries)) + entries
             if expert_stacked and ndim >= 1 and entries[0] is None:
                 entries = ("ep",) + entries[1:]
+            if pp_stacked and ndim >= 1 and entries[0] is None:
+                entries = ("pp",) + entries[1:]
             return P(*entries)
     return P()
 
@@ -107,17 +118,20 @@ def _fit_spec(spec: P, shape: Tuple[int, ...], mesh: Mesh) -> P:
     return P(*entries)
 
 
-def param_sharding_rules(params: Params, mesh: Mesh) -> Params:
-    """Pytree of NamedShardings matching ``params``."""
+def param_sharding_rules(params: Params, mesh: Mesh, pp: bool = False) -> Params:
+    """Pytree of NamedShardings matching ``params``. ``pp=True`` also
+    shards the decoder layer stack's leading axis over the "pp" mesh axis
+    (pipeline stages)."""
+    pp = pp and mesh.shape.get("pp", 1) > 1
 
     def leaf_sharding(path, leaf):
-        spec = spec_for_path(_path_str(path), leaf.ndim)
+        spec = spec_for_path(_path_str(path), leaf.ndim, pp=pp)
         return NamedSharding(mesh, _fit_spec(spec, leaf.shape, mesh))
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, params)
 
 
-def shard_params(params: Params, mesh: Mesh) -> Params:
+def shard_params(params: Params, mesh: Mesh, pp: bool = False) -> Params:
     """Device_put params with their sharding rules (ZeRO-3-style layout).
 
     Single-device meshes skip explicit NamedSharding placement: it is a
@@ -126,7 +140,7 @@ def shard_params(params: Params, mesh: Mesh) -> Params:
     path there)."""
     if mesh.devices.size == 1:
         return params
-    shardings = param_sharding_rules(params, mesh)
+    shardings = param_sharding_rules(params, mesh, pp=pp)
     return jax.tree.map(jax.device_put, params, shardings)
 
 

@@ -62,6 +62,12 @@ class TrainerConfig:
     sp: int = 1
     # expert parallel: shards MoE vision-expert stacks (parallel/sharding.py)
     ep: int = 1
+    # pipeline parallel: GPipe stages over the decoder layer stack
+    # (parallel/pipeline.py); also sets LlamaConfig.pipeline_parallel
+    pp: int = 1
+    # microbatches per pipeline schedule (must divide the batch);
+    # default = pp
+    pp_microbatches: Optional[int] = None
     # compute
     remat: bool = True
     attn_impl: Optional[str] = None
@@ -136,16 +142,23 @@ class MultimodalTrainer:
         self.cfg = config
         self.mesh = mesh or make_mesh(dp=config.dp, fsdp=config.fsdp,
                                       tp=config.tp, sp=config.sp,
-                                      ep=config.ep)
+                                      ep=config.ep, pp=config.pp)
+        import dataclasses as _dc
+
         if config.sp > 1 and not model.config.llm.sequence_parallel:
             # LlamaConfig is frozen; swap in an sp-enabled copy so the
             # forward emits the Ulysses sharding constraints
-            import dataclasses as _dc
-
             model.config.llm = _dc.replace(
                 model.config.llm, sequence_parallel=True)
-        self.param_shardings = param_sharding_rules(params, self.mesh)
-        self.params = shard_params(params, self.mesh)
+        pp = max(config.pp, self.mesh.shape.get("pp", 1))
+        if pp > 1 and model.config.llm.pipeline_parallel != pp:
+            model.config.llm = _dc.replace(
+                model.config.llm, pipeline_parallel=pp,
+                pipeline_microbatches=config.pp_microbatches)
+        self._pp = model.config.llm.pipeline_parallel > 1
+        self.param_shardings = param_sharding_rules(params, self.mesh,
+                                                    pp=self._pp)
+        self.params = shard_params(params, self.mesh, pp=self._pp)
         self.trainable_mask = model.trainable_mask(params, config.training_mode)
 
         schedule = optax.warmup_cosine_decay_schedule(
@@ -191,6 +204,7 @@ class MultimodalTrainer:
     # ------------------------------------------------------------------
     def _build_train_step(self) -> Callable:
         model, cfg, mask = self.model, self.cfg, self.trainable_mask
+        fwd_mesh = self.mesh if self._pp else None
 
         def loss_fn(params, batch):
             # Frozen subtrees contribute no gradient (and their backward is
@@ -199,7 +213,8 @@ class MultimodalTrainer:
                 lambda x, m: x if m else jax.lax.stop_gradient(x), params, mask
             )
             _, loss = model.forward(
-                p, batch, attn_impl=cfg.attn_impl, remat=cfg.remat
+                p, batch, attn_impl=cfg.attn_impl, remat=cfg.remat,
+                mesh=fwd_mesh,
             )
             return loss
 

@@ -125,6 +125,23 @@ def test_cli_train_process_workers(workdir):
     assert np.isfinite(metrics[-1]["loss"])
 
 
+def test_cli_train_pipeline_mesh(workdir):
+    # mesh.pp reaches the trainer: 2 decoder layers as a 2-stage GPipe
+    # pipeline (parallel/pipeline.py) composed with fsdp over the
+    # virtual 8-device mesh.
+    root, cfg_path, config = workdir
+    from multimeditron_tpu.cli import main_cli
+
+    result = CliRunner().invoke(
+        main_cli,
+        ["train", "-c", str(cfg_path),
+         "mesh.pp=2", "mesh.fsdp=4", "training_args.max_steps=2"],
+        catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    metrics = [json.loads(l) for l in open(root / "out" / "metrics.jsonl")]
+    assert np.isfinite(metrics[-1]["loss"])
+
+
 def test_cli_train_resume(workdir):
     """--resume restores params/opt_state/step from the latest orbax
     checkpoint (reference resume_from_checkpoint parity)."""
