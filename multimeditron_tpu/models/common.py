@@ -144,3 +144,30 @@ def cross_entropy_loss(
 
 def gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
+
+
+def xielu(
+    x: jax.Array,
+    alpha_p: jax.Array,
+    alpha_n: jax.Array,
+    beta: float = 0.5,
+    eps: float = -1e-6,
+) -> jax.Array:
+    """xIELU activation (arXiv:2411.13010) as used by Apertus' gateless MLP.
+
+    Matches HF transformers' ``XIELUActivation`` python path
+    (``activations.py``): the learnable per-MLP scalars ``alpha_p`` /
+    ``alpha_n`` are stored in the softplus-inverse domain; ``beta`` and
+    ``eps`` are fixed buffers.
+
+        x > 0:  softplus(alpha_p) * x^2 + beta * x
+        x <= 0: (expm1(min(x, eps)) - x) * (beta + softplus(alpha_n)) + beta * x
+    """
+    x = x.astype(jnp.float32)
+    ap = jax.nn.softplus(alpha_p.astype(jnp.float32)).reshape(())
+    an = beta + jax.nn.softplus(alpha_n.astype(jnp.float32)).reshape(())
+    return jnp.where(
+        x > 0,
+        ap * x * x + beta * x,
+        (jnp.expm1(jnp.minimum(x, eps)) - x) * an + beta * x,
+    )

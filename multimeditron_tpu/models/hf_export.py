@@ -41,18 +41,23 @@ def llama_state_dict(params: Params, cfg, prefix: str = "model.") -> Dict[str, j
     sd: Dict[str, jax.Array] = {}
     sd[f"{prefix}model.embed_tokens.weight"] = params["embed_tokens"]
     L = cfg.num_layers
+    apertus = getattr(cfg, "hf_arch", "llama") == "apertus"
+    ln1 = "attention_layernorm" if apertus else "input_layernorm"
+    ln2 = "feedforward_layernorm" if apertus else "post_attention_layernorm"
     layer_map = {
-        "input_norm": ("input_layernorm.weight", False),
+        "input_norm": (f"{ln1}.weight", False),
         "q_proj": ("self_attn.q_proj.weight", True),
         "k_proj": ("self_attn.k_proj.weight", True),
         "v_proj": ("self_attn.v_proj.weight", True),
         "o_proj": ("self_attn.o_proj.weight", True),
-        "post_attn_norm": ("post_attention_layernorm.weight", False),
+        "post_attn_norm": (f"{ln2}.weight", False),
         "gate_proj": ("mlp.gate_proj.weight", True),
         "up_proj": ("mlp.up_proj.weight", True),
         "down_proj": ("mlp.down_proj.weight", True),
         "q_norm": ("self_attn.q_norm.weight", False),
         "k_norm": ("self_attn.k_norm.weight", False),
+        "xielu_alpha_p": ("mlp.act_fn.alpha_p", False),
+        "xielu_alpha_n": ("mlp.act_fn.alpha_n", False),
     }
     for ours, (theirs, transpose) in layer_map.items():
         if ours not in params["layers"]:

@@ -66,34 +66,48 @@ def load_hf_config(path: str) -> dict:
 def llama_params_from_state_dict(
     state: Mapping[str, Any], cfg: LlamaConfig, dtype=None
 ) -> Params:
-    """Map an HF LlamaForCausalLM/Qwen3ForCausalLM state dict to our pytree."""
+    """Map an HF Llama/Qwen3/ApertusForCausalLM state dict to our pytree.
+
+    Apertus (``cfg.hf_arch == "apertus"``) differs in layernorm key names
+    (attention_layernorm/feedforward_layernorm), has no gate_proj, and
+    carries learnable xIELU scalars under ``mlp.act_fn.alpha_{p,n}``."""
     import jax.numpy as jnp
 
     dtype = dtype or cfg.dtype
     g = lambda k: _np(state[k])
 
-    def stack(fmt: str, transform: Callable[[np.ndarray], np.ndarray]):
+    def stack(fmt: str, transform: Callable[[np.ndarray], np.ndarray], dt=None):
         return jnp.asarray(
             np.stack([transform(g(fmt.format(i))) for i in range(cfg.num_layers)]),
-            dtype=dtype,
+            dtype=dt or dtype,
         )
 
     t = lambda w: np.ascontiguousarray(w.T)
     ident = lambda w: w
 
+    apertus = cfg.hf_arch == "apertus"
+    ln1 = "attention_layernorm" if apertus else "input_layernorm"
+    ln2 = "feedforward_layernorm" if apertus else "post_attention_layernorm"
+
     layers = {
-        "input_norm": stack("model.layers.{}.input_layernorm.weight", ident),
+        "input_norm": stack("model.layers.{}.%s.weight" % ln1, ident),
         "q_proj": stack("model.layers.{}.self_attn.q_proj.weight", t),
         "k_proj": stack("model.layers.{}.self_attn.k_proj.weight", t),
         "v_proj": stack("model.layers.{}.self_attn.v_proj.weight", t),
         "o_proj": stack("model.layers.{}.self_attn.o_proj.weight", t),
-        "post_attn_norm": stack(
-            "model.layers.{}.post_attention_layernorm.weight", ident
-        ),
-        "gate_proj": stack("model.layers.{}.mlp.gate_proj.weight", t),
+        "post_attn_norm": stack("model.layers.{}.%s.weight" % ln2, ident),
         "up_proj": stack("model.layers.{}.mlp.up_proj.weight", t),
         "down_proj": stack("model.layers.{}.mlp.down_proj.weight", t),
     }
+    if cfg.mlp_gate:
+        layers["gate_proj"] = stack("model.layers.{}.mlp.gate_proj.weight", t)
+    if cfg.hidden_act == "xielu":
+        layers["xielu_alpha_p"] = stack(
+            "model.layers.{}.mlp.act_fn.alpha_p", ident, dt=jnp.float32
+        )
+        layers["xielu_alpha_n"] = stack(
+            "model.layers.{}.mlp.act_fn.alpha_n", ident, dt=jnp.float32
+        )
     if cfg.use_qk_norm:
         layers["q_norm"] = stack("model.layers.{}.self_attn.q_norm.weight", ident)
         layers["k_norm"] = stack("model.layers.{}.self_attn.k_norm.weight", ident)

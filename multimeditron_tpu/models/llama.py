@@ -42,8 +42,16 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 8192
-    use_qk_norm: bool = False  # Qwen3-style per-head RMSNorm on q/k
+    use_qk_norm: bool = False  # Qwen3/Apertus-style per-head RMSNorm on q/k
     attention_bias: bool = False
+    # MLP shape: gated (llama/qwen silu(gate)*up) or plain up->act->down
+    # (Apertus). ``hidden_act`` selects the activation; "xielu" carries
+    # learnable per-layer alpha_p/alpha_n params (models/common.py:xielu).
+    mlp_gate: bool = True
+    hidden_act: str = "silu"
+    # HF architecture family ("llama" | "qwen3" | "apertus"): drives the
+    # checkpoint key names in hf_import/hf_export.
+    hf_arch: str = "llama"
     # DeepSpeed-Ulysses-style sequence parallelism (training/prefill, no
     # kv cache): activations carry an "sp" sharding constraint along the
     # sequence outside attention and along HEADS inside it; XLA inserts
@@ -67,7 +75,8 @@ class LlamaConfig:
 
     @staticmethod
     def from_hf_dict(d: dict) -> "LlamaConfig":
-        """Build from an HF ``config.json`` dict (llama/qwen3 families)."""
+        """Build from an HF ``config.json`` dict (llama/qwen3/apertus)."""
+        mt = d.get("model_type", "llama")
         return LlamaConfig(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -81,8 +90,11 @@ class LlamaConfig:
             rms_norm_eps=d.get("rms_norm_eps", 1e-5),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             max_position_embeddings=d.get("max_position_embeddings", 8192),
-            use_qk_norm=d.get("model_type") == "qwen3",
+            use_qk_norm=mt in ("qwen3", "apertus"),
             attention_bias=d.get("attention_bias", False),
+            mlp_gate=mt != "apertus",
+            hidden_act=d.get("hidden_act", "silu"),
+            hf_arch=mt if mt in ("llama", "qwen3", "apertus") else "llama",
         )
 
 
@@ -109,12 +121,23 @@ def init_llama_params(key: jax.Array, cfg: LlamaConfig) -> Params:
             "v_proj": dense(keys[3], (L, D, Hkv * Dh), D),
             "o_proj": dense(keys[4], (L, H * Dh, D), H * Dh),
             "post_attn_norm": jnp.ones((L, D), cfg.dtype),
-            "gate_proj": dense(keys[5], (L, D, F), D),
             "up_proj": dense(keys[6], (L, D, F), D),
             "down_proj": dense(keys[7], (L, F, D), F),
         },
         "final_norm": jnp.ones((D,), cfg.dtype),
     }
+    if cfg.mlp_gate:
+        params["layers"]["gate_proj"] = dense(keys[5], (L, D, F), D)
+    if cfg.hidden_act == "xielu":
+        # softplus-inverse of the HF defaults (alpha_p=0.8, alpha_n-beta=0.3)
+        import math
+
+        params["layers"]["xielu_alpha_p"] = jnp.full(
+            (L, 1), math.log(math.expm1(0.8)), jnp.float32
+        )
+        params["layers"]["xielu_alpha_n"] = jnp.full(
+            (L, 1), math.log(math.expm1(0.3)), jnp.float32
+        )
     if cfg.use_qk_norm:
         params["layers"]["q_norm"] = jnp.ones((L, Dh), cfg.dtype)
         params["layers"]["k_norm"] = jnp.ones((L, Dh), cfg.dtype)
@@ -313,9 +336,21 @@ def _layer(
     x = x + _proj(out, layer_params, "o_proj")
 
     h = rms_norm(x, layer_params["post_attn_norm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu(_proj(h, layer_params, "gate_proj").astype(jnp.float32))
     up = _proj(h, layer_params, "up_proj").astype(jnp.float32)
-    x = x + _proj((gate * up).astype(h.dtype), layer_params, "down_proj")
+    if cfg.mlp_gate:
+        gate = jax.nn.silu(
+            _proj(h, layer_params, "gate_proj").astype(jnp.float32)
+        )
+        act = gate * up
+    elif cfg.hidden_act == "xielu":
+        from multimeditron_tpu.models.common import xielu
+
+        act = xielu(
+            up, layer_params["xielu_alpha_p"], layer_params["xielu_alpha_n"]
+        )
+    else:
+        act = getattr(jax.nn, cfg.hidden_act)(up)
+    x = x + _proj(act.astype(h.dtype), layer_params, "down_proj")
     return x, new_cache
 
 

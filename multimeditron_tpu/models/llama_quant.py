@@ -47,6 +47,8 @@ def quantize_llama_params(params: Params, cfg: LlamaConfig) -> Params:
     lp = params["layers"]
     qlayers = dict(lp)
     for key in _PROJ_KEYS:
+        if key not in lp:  # e.g. Apertus' gateless MLP has no gate_proj
+            continue
         q, s = _quantize_stacked(lp[key])
         qlayers[key + "_q"] = q
         qlayers[key + "_s"] = s
