@@ -68,6 +68,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, s_ref, *, num_heads: int,
             o_ref[b, :, sl] = o.astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def encoder_attention(
     q: jax.Array,
     k: jax.Array,
@@ -85,7 +86,19 @@ def encoder_attention(
     is given, keys/values beyond it are masked out (used when S carries
     sublane padding); query rows beyond kv_len produce garbage outputs
     the caller is expected to drop.
+
+    Differentiable: the backward pass recomputes attention through the
+    XLA reference (these are short-S towers — the (S, S) scores fit
+    easily), so END2END/FULL training through a vision tower works on
+    TPU where the forward runs the fused Pallas kernel.
     """
+    return _encoder_attention_impl(
+        q, k, v, num_heads, sm_scale, block_b, kv_len, interpret
+    )
+
+
+def _encoder_attention_impl(q, k, v, num_heads, sm_scale, block_b, kv_len,
+                            interpret):
     B, S, D = q.shape
     assert k.shape == (B, S, D) and v.shape == (B, S, D)
     assert D % num_heads == 0
@@ -125,6 +138,33 @@ def encoder_attention(
         ),
         interpret=interpret,
     )(q, k, v)
+
+
+def _encoder_attention_fwd(q, k, v, num_heads, sm_scale, block_b, kv_len,
+                           interpret):
+    out = _encoder_attention_impl(
+        q, k, v, num_heads, sm_scale, block_b, kv_len, interpret
+    )
+    return out, (q, k, v)
+
+
+def _encoder_attention_bwd(num_heads, sm_scale, block_b, kv_len, interpret,
+                           res, g):
+    q, k, v = res
+    if sm_scale is None:
+        sm_scale = (q.shape[-1] // num_heads) ** -0.5
+    if kv_len is None:
+        kv_len = q.shape[1]
+    _, vjp = jax.vjp(
+        lambda q, k, v: _encoder_attention_xla(
+            q, k, v, num_heads, sm_scale, kv_len
+        ),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+encoder_attention.defvjp(_encoder_attention_fwd, _encoder_attention_bwd)
 
 
 def _kernel_i8(q_ref, k_ref, v_ref, sc_ref, o_ref, s_ref, *, num_heads: int,

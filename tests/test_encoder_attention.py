@@ -58,3 +58,21 @@ def test_jit_and_grad_compile():
 
     g = jax.grad(f)(q, k, v)
     assert g.shape == q.shape and np.isfinite(np.asarray(g)).all()
+
+
+def test_grad_through_pallas_forward_matches_xla():
+    """custom_vjp: Pallas (interpret) forward, XLA-recompute backward —
+    the path END2END training takes through a vision tower on TPU."""
+    q, k, v = _make(2, 16, 2, 8, seed=3)
+
+    def f_pallas(q, k, v):
+        return (encoder_attention(q, k, v, 2, interpret=True) ** 2).sum()
+
+    def f_xla(q, k, v):
+        return (_encoder_attention_xla(q, k, v, 2, 8 ** -0.5) ** 2).sum()
+
+    g_p = jax.grad(f_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(f_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
