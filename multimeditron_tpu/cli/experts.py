@@ -122,3 +122,43 @@ def train_router(config):
     ds = get_combined_dataset(datasets_spec, seed=cfg.seed)
     metrics = trainer.train(ds)
     click.echo(f"router trained: {metrics}; saved to {cfg.output_dir}")
+
+
+@main_cli.command("train-biomed", epilog=EPILOG)
+@click.option("--data-url", required=True,
+              help="JSONL file or HF dataset dir with modalities/text rows")
+@click.option("--tokenizer", "tokenizer_path", required=True,
+              help="HF tokenizer path (PubMedBERT-style)")
+@click.option("--lr", default=5e-5, show_default=True)
+@click.option("--batch-size", default=16, show_default=True)
+@click.option("--num-epochs", default=20, show_default=True)
+@click.option("--output-dir", default="output", show_default=True)
+@click.option("--save-model/--no-save-model", default=False)
+def train_biomed(data_url, tokenizer_path, lr, batch_size, num_epochs,
+                 output_dir, save_model):
+    """BiomedCLIP contrastive fine-tune (reference scripts/biomed_train.py)."""
+    from transformers import AutoTokenizer
+
+    from multimeditron_tpu.data.tokenizer import HFTokenizer
+    from multimeditron_tpu.experts.train_biomed import (
+        BiomedTrainConfig,
+        BiomedTrainer,
+        load_biomed_rows,
+        split_rows,
+    )
+
+    cfg = BiomedTrainConfig(
+        learning_rate=lr, batch_size=batch_size, num_epochs=num_epochs,
+        output_dir=output_dir, save_model=save_model,
+    )
+    tokenizer = HFTokenizer(AutoTokenizer.from_pretrained(tokenizer_path))
+    trainer = BiomedTrainer(cfg, tokenizer)
+    if trainer.maybe_resume():
+        logger.info("Resumed model from %s", output_dir)
+    rows, base_dir = load_biomed_rows(data_url)
+    train_rows, eval_rows = split_rows(rows, cfg.eval_fraction, cfg.seed)
+    train_loss, eval_loss = trainer.train(train_rows, eval_rows, base_dir)
+    if save_model:
+        path = trainer.save()
+        click.echo(f"saved {path}")
+    click.echo(f"train_loss {train_loss:.4f} eval_loss {eval_loss:.4f}")
