@@ -26,6 +26,7 @@ Sq/Skv must be multiples of the block sizes and D a multiple of 128 —
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -160,7 +161,13 @@ def _fwd(q, k, v, kv_mask, causal, sm_scale, offset, block_q, block_k, interpret
 
     # Pack 2 q heads per grid step when the pair maps to one kv head (even
     # GQA group) or each brings its own (MHA). Odd grouping falls back.
-    hp = 2 if (H % 2 == 0 and (group == 1 or group % 2 == 0)) else 1
+    # MMT_FLASH_HP overrides the pack width for tuning sweeps.
+    hp_want = int(os.environ.get("MMT_FLASH_HP", "2"))
+    hp = 1
+    for cand in range(hp_want, 0, -1):
+        if H % cand == 0 and (group == 1 or group % cand == 0):
+            hp = cand
+            break
     kv_shared = hp == 2 and group > 1
     grid = (B, H // hp, nq, nk)
 
