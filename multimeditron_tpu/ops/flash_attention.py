@@ -246,8 +246,11 @@ def _dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, kv_mask_ref,
     dq_ref,
     dq_scr,
-    *, sm_scale, causal, offset, block_q, block_k,
+    *, sm_scale, causal, offset, block_q, block_k, head_pack, kv_shared,
 ):
+    # Like the forward, ``head_pack`` q heads run as independent chains per
+    # grid step so Mosaic can overlap one head's MXU dots with the other's
+    # VPU softmax/elementwise work.
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -261,39 +264,42 @@ def _dq_kernel(
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        lse = lse_ref[0, 0]   # (block_q, LANES) replicated
-        di = di_ref[0, 0]
-
-        s = lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (sm_scale * LOG2_E)
         kv_blk = kv_mask_ref[0, :1, :] if kv_mask_ref is not None else None
         mask = _block_mask(iq, ik, block_q, block_k, offset, causal, kv_blk)
-        if mask is not None:
-            s = jnp.where(mask, s, MASK_VALUE)
 
-        p = jnp.exp2(s - lse[:, :1])
-        if mask is not None and (
-            kv_mask_ref is not None or offset < 0 or not causal
-        ):
-            p = jnp.where(mask, p, 0.0)
+        for a in range(head_pack):
+            q = q_ref[0, a]
+            k = k_ref[0, 0 if kv_shared else a]
+            v = v_ref[0, 0 if kv_shared else a]
+            do = do_ref[0, a]
+            lse = lse_ref[0, a]   # (block_q, LANES) replicated
+            di = di_ref[0, a]
 
-        dp = lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - di[:, :1]) * sm_scale
-        dq_scr[...] += lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            s = lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * (sm_scale * LOG2_E)
+            if mask is not None:
+                s = jnp.where(mask, s, MASK_VALUE)
+
+            p = jnp.exp2(s - lse[:, :1])
+            if mask is not None and (
+                kv_mask_ref is not None or offset < 0 or not causal
+            ):
+                p = jnp.where(mask, p, 0.0)
+
+            dp = lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - di[:, :1]) * sm_scale
+            dq_scr[a] += lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(ik == nk - 1)
     def _finalize():
-        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+        for a in range(head_pack):
+            dq_ref[0, a] = dq_scr[a].astype(dq_ref.dtype)
 
 
 # ======================================================================
@@ -401,8 +407,16 @@ def _flash_bwd(causal, sm_scale, offset, block_q, block_k, interpret, res, do):
         return ik
 
     # ---------------- dq ----------------
-    def kv_index(b, h, iq, ik):
-        return (b, h // group, remap_k(iq, ik), 0)
+    # Same head-packing rule as the forward.
+    hp = 2 if (H % 2 == 0 and (group == 1 or group % 2 == 0)) else 1
+    kv_shared = hp == 2 and group > 1
+
+    if kv_shared:
+        kv_index = lambda b, h, iq, ik: (b, (h * hp) // group, remap_k(iq, ik), 0)
+        kv_block = (1, 1, block_k, D)
+    else:
+        kv_index = lambda b, h, iq, ik: (b, h // group, remap_k(iq, ik), 0)
+        kv_block = (1, hp, block_k, D)
 
     def kv_mask_index(b, h, iq, ik):
         return (b, 0, remap_k(iq, ik))
@@ -410,12 +424,12 @@ def _flash_bwd(causal, sm_scale, offset, block_q, block_k, interpret, res, do):
     q_index = lambda b, h, iq, ik: (b, h, iq, 0)
 
     dq_in_specs = [
-        pl.BlockSpec((1, 1, block_q, D), q_index),
-        pl.BlockSpec((1, 1, block_k, D), kv_index),
-        pl.BlockSpec((1, 1, block_k, D), kv_index),
-        pl.BlockSpec((1, 1, block_q, D), q_index),
-        pl.BlockSpec((1, 1, block_q, LANES), q_index),
-        pl.BlockSpec((1, 1, block_q, LANES), q_index),
+        pl.BlockSpec((1, hp, block_q, D), q_index),
+        pl.BlockSpec(kv_block, kv_index),
+        pl.BlockSpec(kv_block, kv_index),
+        pl.BlockSpec((1, hp, block_q, D), q_index),
+        pl.BlockSpec((1, hp, block_q, LANES), q_index),
+        pl.BlockSpec((1, hp, block_q, LANES), q_index),
     ]
     dq_inputs = [q, k, v, do, lse, di]
     if kv_mask_in is not None:
@@ -429,17 +443,19 @@ def _flash_bwd(causal, sm_scale, offset, block_q, block_k, interpret, res, do):
             *refs,
             sm_scale=sm_scale, causal=causal, offset=offset,
             block_q=block_q, block_k=block_k,
+            head_pack=hp, kv_shared=kv_shared,
         )
 
     dq = pl.pallas_call(
         dq_kernel,
-        grid=(B, H, nq, nk),
+        grid=(B, H // hp, nq, nk),
         in_specs=dq_in_specs,
-        out_specs=pl.BlockSpec((1, 1, block_q, D), q_index),
+        out_specs=pl.BlockSpec((1, hp, block_q, D), q_index),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hp, block_q, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*dq_inputs)
@@ -503,6 +519,7 @@ def _flash_bwd(causal, sm_scale, offset, block_q, block_k, interpret, res, do):
             dimension_semantics=(
                 "parallel", "parallel", "parallel", "arbitrary", "arbitrary",
             ),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*dkv_inputs)
