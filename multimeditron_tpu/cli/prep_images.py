@@ -42,13 +42,17 @@ def extract_parquet_images(parquet_path: str, out_dir: str) -> list[str]:
     table = pq.read_table(parquet_path)
     for row in table.to_pylist():
         rel, data, fmt = row["path"], row["bytes"], row.get("format")
-        dest = os.path.join(out_dir, rel)
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
         try:
+            dest = os.path.abspath(os.path.join(out_dir, rel))
+            # the parquet is untrusted input: refuse rows whose path
+            # escapes the output folder (absolute or '..' components)
+            if os.path.commonpath([out_dir, dest]) != out_dir:
+                raise ValueError(f"row path escapes --out: {rel!r}")
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
             img = Image.open(io.BytesIO(data))
             img.save(dest, fmt)
         except Exception:  # match reference: record and continue
-            failed.append(dest)
+            failed.append(str(rel))
     return failed
 
 
@@ -56,17 +60,21 @@ def split_jsonl(jsonl_path: str, train_rate: float, seed: int = 42) -> tuple[str
     """Deterministic train/test split of a jsonl dataset.
 
     Writes ``<stem>-train.jsonl`` and ``<stem>-test.jsonl`` next to the
-    input (reference: datasets.train_test_split(train_size, seed=42)).
+    input, mirroring HF ``datasets.train_test_split(train_size, seed=42)``
+    membership: n_train is floored, the test split takes the FIRST
+    ``len - n_train`` permutation slots, train takes the rest — so datasets
+    prepared here match reference-prepared splits row for row.
     """
     import numpy as np
 
     with open(jsonl_path) as f:
         records = [json.loads(line) for line in f if line.strip()]
     perm = np.random.default_rng(seed).permutation(len(records))
-    n_train = int(round(len(records) * train_rate))
+    n_train = int(len(records) * train_rate)
+    n_test = len(records) - n_train
     stem = jsonl_path[:-6] if jsonl_path.endswith(".jsonl") else jsonl_path
     train_path, test_path = stem + "-train.jsonl", stem + "-test.jsonl"
-    for path, idx in ((train_path, perm[:n_train]), (test_path, perm[n_train:])):
+    for path, idx in ((train_path, perm[n_test:]), (test_path, perm[:n_test])):
         with open(path, "w") as f:
             for i in idx:
                 f.write(json.dumps(records[int(i)]) + "\n")

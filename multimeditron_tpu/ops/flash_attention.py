@@ -43,6 +43,24 @@ LOG2_E = 1.4426950408889634  # scores are kept in the base-2 domain: one
 # the multiply hidden inside exp's lowering. lse is stored in base-2.
 
 
+def _head_pack(H: int, group: int) -> tuple[int, bool]:
+    """Head-pack width and kv-sharing rule, shared by forward and dq bwd.
+
+    Packs ``hp`` q heads per grid step. For GQA (group > 1) the packed heads
+    must all map to ONE kv head (hp | group), so kv blocks stay (1, 1, ...);
+    for MHA each packed head brings its own kv block. MMT_FLASH_HP overrides
+    the pack width for tuning sweeps (capped by the divisibility rules).
+    """
+    hp_want = int(os.environ.get("MMT_FLASH_HP", "2"))
+    hp = 1
+    for cand in range(hp_want, 0, -1):
+        if H % cand == 0 and (group == 1 or group % cand == 0):
+            hp = cand
+            break
+    kv_shared = hp > 1 and group > 1
+    return hp, kv_shared
+
+
 def _below_or_on_diag(iq, block_q, ik, block_k, offset):
     """True if kv block ik intersects the causal region of q block iq.
 
@@ -159,16 +177,7 @@ def _fwd(q, k, v, kv_mask, causal, sm_scale, offset, block_q, block_k, interpret
     group = H // Hkv
     nq, nk = Sq // block_q, Skv // block_k
 
-    # Pack 2 q heads per grid step when the pair maps to one kv head (even
-    # GQA group) or each brings its own (MHA). Odd grouping falls back.
-    # MMT_FLASH_HP overrides the pack width for tuning sweeps.
-    hp_want = int(os.environ.get("MMT_FLASH_HP", "2"))
-    hp = 1
-    for cand in range(hp_want, 0, -1):
-        if H % cand == 0 and (group == 1 or group % cand == 0):
-            hp = cand
-            break
-    kv_shared = hp == 2 and group > 1
+    hp, kv_shared = _head_pack(H, group)
     grid = (B, H // hp, nq, nk)
 
     def remap_k(iq, ik):
@@ -182,7 +191,9 @@ def _fwd(q, k, v, kv_mask, causal, sm_scale, offset, block_q, block_k, interpret
         kv_index = lambda b, h, iq, ik: (b, (h * hp) // group, remap_k(iq, ik), 0)
         kv_block = (1, 1, block_k, D)
     else:
-        kv_index = lambda b, h, iq, ik: (b, h, remap_k(iq, ik), 0)
+        # Non-shared: either MHA (group == 1, block covers hp own kv heads)
+        # or hp == 1 GQA (block index is the kv head h // group).
+        kv_index = lambda b, h, iq, ik: (b, h // group, remap_k(iq, ik), 0)
         kv_block = (1, hp, block_k, D)
 
     def kv_mask_index(b, h, iq, ik):
@@ -407,9 +418,7 @@ def _flash_bwd(causal, sm_scale, offset, block_q, block_k, interpret, res, do):
         return ik
 
     # ---------------- dq ----------------
-    # Same head-packing rule as the forward.
-    hp = 2 if (H % 2 == 0 and (group == 1 or group % 2 == 0)) else 1
-    kv_shared = hp == 2 and group > 1
+    hp, kv_shared = _head_pack(H, group)
 
     if kv_shared:
         kv_index = lambda b, h, iq, ik: (b, (h * hp) // group, remap_k(iq, ik), 0)
