@@ -367,8 +367,12 @@ def llama_forward(
     prefill: bool = False,
     page_size: Optional[int] = None,
     mesh: Optional[Any] = None,
+    return_hidden: bool = False,
 ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
-    """Run the decoder. Returns (logits, updated_kv_cache_or_None).
+    """Run the decoder. Returns (logits, updated_kv_cache_or_None), plus
+    the final-norm hidden states as a third element when ``return_hidden``
+    (value heads — rlhf/ppo.py — read the trunk without the lm_head cost
+    mattering since XLA DCEs logits consumers don't use).
 
     A ``kv_cache`` carrying a ``page_table`` runs the PAGED decode path
     (``page_size`` must then be passed as a STATIC int — it shapes the
@@ -474,8 +478,18 @@ def llama_forward(
         if page_table is not None:
             new_kv_cache["page_table"] = page_table
             new_kv_cache["pages_length"] = kv_cache["pages_length"]
+    if return_hidden:
+        return logits, new_kv_cache, x
     return logits, new_kv_cache
 
 
 def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:
-    return jnp.take(params["embed_tokens"], input_ids, axis=0)
+    out = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    # Pin the gather OUTPUT to the decoder's activation layout
+    # ((dp,fsdp) batch, sp sequence, replicated hidden). Without this SPMD
+    # inherits the vocab/hidden-sharded table layout for the gather result
+    # and then "involuntarily fully rematerializes" (replicate-then-
+    # repartition) to reach the consumer's layout — observed on the
+    # fsdp2xsp2xep2 dryrun leg (MULTICHIP_r02.json). Best-effort no-op
+    # outside a mesh context (single-chip serving, CPU tests).
+    return _sp_constrain(out, ("dp", "fsdp"), "sp", None)

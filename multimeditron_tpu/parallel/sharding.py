@@ -25,7 +25,13 @@ Params = Dict[str, Any]
 # (leading L dim unsharded). "..." in comments marks the stacked dim.
 _RULES: List[Tuple[str, P]] = [
     # ---- LLM (llama.py layout) ----
-    (r"embed_tokens$",            P("tp", "fsdp")),          # (V, D)
+    # Embedding table shards VOCAB over (tp, fsdp) with hidden replicated:
+    # SPMD lowers the token gather from a vocab-sharded table to
+    # masked-local-gather + psum cleanly, whereas a hidden-sharded table
+    # forced "involuntary full rematerialization" (replicate-then-
+    # repartition) of the gather output on sp/ep meshes (MULTICHIP_r02).
+    # Per-device bytes are identical (V/(tp*fsdp) x D).
+    (r"embed_tokens$",            P(("tp", "fsdp"), None)),  # (V, D)
     (r"lm_head$",                 P("fsdp", "tp")),          # (D, V)
     (r"layers/(q|k|v)_proj$",     P(None, "fsdp", "tp")),    # (L, D, H*Dh)
     (r"layers/o_proj$",           P(None, "tp", "fsdp")),    # (L, H*Dh, D)
@@ -142,6 +148,35 @@ def shard_params(params: Params, mesh: Mesh, pp: bool = False) -> Params:
         return params
     shardings = param_sharding_rules(params, mesh, pp=pp)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def opt_state_sharding_rules(tx_init, params: Params, mesh: Mesh,
+                             pp: bool = False) -> Any:
+    """NamedShardings for an optax init's output pytree.
+
+    Optimizer moments mirror the param tree under prefixes like
+    ``.../mu/llm/layers/q_proj`` — the suffix-matched ``_RULES`` apply
+    unchanged, so moments shard exactly like their parameters. Needed
+    because ``tx.init`` outputs are data-INDEPENDENT zeros: GSPMD has no
+    edge to propagate the input sharding through, and without explicit
+    out_shardings the moments come back unsharded (a silent ZeRO-3
+    violation — 2x replicated optimizer memory per chip)."""
+    pp = pp and mesh.shape.get("pp", 1) > 1
+    shapes = jax.eval_shape(tx_init, params)
+
+    def leaf(path, s):
+        spec = spec_for_path(_path_str(path), len(s.shape), pp=pp)
+        return NamedSharding(mesh, _fit_spec(spec, s.shape, mesh))
+
+    return jax.tree_util.tree_map_with_path(leaf, shapes)
+
+
+def init_opt_state(tx, params: Params, mesh: Mesh, pp: bool = False):
+    """``tx.init(params)`` with optimizer state sharded over the mesh."""
+    if mesh.devices.size == 1:
+        return tx.init(params)
+    shardings = opt_state_sharding_rules(tx.init, params, mesh, pp=pp)
+    return jax.jit(tx.init, out_shardings=shardings)(params)
 
 
 def batch_sharding(mesh: Mesh, pytree_example: Any = None):

@@ -32,6 +32,7 @@ from multimeditron_tpu.models.multimodal import MultimodalModel, TrainingMode
 from multimeditron_tpu.parallel.mesh import make_mesh
 from multimeditron_tpu.parallel.sharding import (
     batch_sharding,
+    init_opt_state,
     param_sharding_rules,
     shard_params,
 )
@@ -192,7 +193,9 @@ class MultimodalTrainer:
         # execute path through the axon TPU relay (see parallel/sharding.py).
         self._use_mesh = self.mesh.devices.size > 1
         with self._mesh_ctx():
-            self.opt_state = jax.jit(self.tx.init)(self.params)
+            self.opt_state = init_opt_state(
+                self.tx, self.params, self.mesh, pp=self._pp
+            )
         self.step = 0
         self._train_step = self._build_train_step()
 

@@ -135,6 +135,20 @@ def test_moe_whisper_params_shard_and_train():
     assert fc1_keys, f"no whisper fc1 leaf found in {list(flat)[:10]}"
     assert _is_sharded(flat[fc1_keys[0]])
 
+    # Optimizer moments shard like their params (tx.init outputs are
+    # data-independent zeros, so this requires explicit out_shardings —
+    # parallel/sharding.py:init_opt_state; without it the moments were
+    # silently unsharded, a ZeRO-3 violation).
+    opt_arrays = [
+        x for x in jax.tree.leaves(trainer.opt_state)
+        if hasattr(x, "sharding") and getattr(x, "ndim", 0) >= 2
+    ]
+    assert opt_arrays
+    sharded = [x for x in opt_arrays if _is_sharded(x)]
+    assert len(sharded) >= len(opt_arrays) // 2, (
+        f"only {len(sharded)}/{len(opt_arrays)} opt-state arrays sharded"
+    )
+
     # A second step still works (donated/sharded state round-trips).
     metrics2 = trainer.train_step(batch)
     assert np.isfinite(float(metrics2["loss"]))
