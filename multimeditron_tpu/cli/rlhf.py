@@ -36,6 +36,7 @@ def rlhf(ctx, config, dryrun, steps):
     )
     from multimeditron_tpu.models.multimodal import TrainingMode
     from multimeditron_tpu.rlhf.grpo import GRPOConfig, GRPOTrainer
+    from multimeditron_tpu.rlhf.ppo import PPOConfig, PPOTrainer
     from multimeditron_tpu.utils.jsonl import JSONLGenerator
 
     cfg = load_config(config, ctx.args)
@@ -53,7 +54,29 @@ def rlhf(ctx, config, dryrun, steps):
     collator = build_collator(cfg, model, tokenizer, chat_template,
                               add_generation_prompt=True)
     rl = cfg.get("rlhf", {})
-    grpo_cfg = GRPOConfig(
+    # algorithm switch (reference verl role map: ActorRollout-only = GRPO,
+    # ActorRollout + Critic = PPO with GAE, verl/__init__.py:29-50)
+    algorithm = rl.get("algorithm", "grpo").lower()
+    if algorithm not in ("grpo", "ppo"):
+        raise click.ClickException(f"unknown rlhf.algorithm: {algorithm}")
+    cfg_cls, trainer_cls = (
+        (PPOConfig, PPOTrainer) if algorithm == "ppo"
+        else (GRPOConfig, GRPOTrainer)
+    )
+    extra = {}
+    if algorithm == "ppo":
+        extra = dict(
+            gamma=rl.get("gamma", 1.0),
+            gae_lambda=rl.get("gae_lambda", 0.95),
+            value_clip=rl.get("value_clip", 0.2),
+            critic_learning_rate=rl.get("critic_learning_rate", 1e-5),
+            whiten_advantages=rl.get("whiten_advantages", True),
+        )
+    grpo_cfg = cfg_cls(
+        dp=rl.get("dp"),
+        fsdp=rl.get("fsdp"),
+        tp=rl.get("tp", 1),
+        **extra,
         group_size=rl.get("group_size", 4),
         prompts_per_step=rl.get("prompts_per_step", 4),
         max_new_tokens=rl.get("max_new_tokens", 128),
@@ -68,11 +91,12 @@ def rlhf(ctx, config, dryrun, steps):
         max_slots=rl.get("max_slots", 8),
         seed=cfg.get("seed", 0),
     )
-    trainer = GRPOTrainer(model, params, collator, grpo_cfg)
+    trainer = trainer_cls(model, params, collator, grpo_cfg)
 
     if dryrun:
         click.echo(
-            f"dryrun OK: model={model.config.llm.num_layers}L "
+            f"dryrun OK: algorithm={algorithm}, "
+            f"model={model.config.llm.num_layers}L "
             f"x{model.config.llm.hidden_size}, engine slots="
             f"{grpo_cfg.max_slots}, reward_manager={grpo_cfg.reward_manager}"
         )

@@ -1,4 +1,8 @@
 from multimeditron_tpu.rlhf.grpo import GRPOConfig, GRPOTrainer
+from multimeditron_tpu.rlhf.ppo import PPOConfig, PPOTrainer
 from multimeditron_tpu.rlhf.rewards import AutoRewardManager, compute_score
 
-__all__ = ["GRPOConfig", "GRPOTrainer", "AutoRewardManager", "compute_score"]
+__all__ = [
+    "GRPOConfig", "GRPOTrainer", "PPOConfig", "PPOTrainer",
+    "AutoRewardManager", "compute_score",
+]

@@ -13,6 +13,13 @@ Algorithm (GRPO):
 - PPO-style clipped ratio objective over response tokens, with a k3 KL
   penalty against the frozen initial policy;
 - masked AdamW update honoring the staged-freeze mode.
+
+At-scale parity with the reference's FSDP RLHF workers
+(``verl/__init__.py:29-50``): policy, frozen reference policy, optimizer
+moments and the update itself shard over an (fsdp, tp) mesh
+(``GRPOConfig.dp/fsdp/tp``); the colocated rollout engine runs on the same
+sharded params, so weight sync remains a pointer swap even when no chip
+holds a full copy of the policy.
 """
 
 from __future__ import annotations
@@ -28,6 +35,13 @@ import optax
 
 from multimeditron_tpu.models.llama import llama_forward
 from multimeditron_tpu.models.multimodal import MultimodalModel, TrainingMode
+from multimeditron_tpu.parallel.mesh import make_mesh
+from multimeditron_tpu.parallel.sharding import (
+    batch_sharding,
+    init_opt_state,
+    param_sharding_rules,
+    shard_params,
+)
 from multimeditron_tpu.rlhf.rewards import AutoRewardManager, compute_score
 from multimeditron_tpu.serve.engine import EngineConfig, ServingEngine
 
@@ -50,6 +64,14 @@ class GRPOConfig:
     seq_bucket: int = 512
     max_slots: int = 8
     seed: int = 0
+    # Mesh axes (reference parity: verl trains RLHF policies on FSDP
+    # workers, /root/reference/src/multimeditron/verl/__init__.py:29-50).
+    # Params / optimizer state / ref policy shard over (fsdp, tp); the
+    # colocated rollout engine runs on the SAME sharded params — weight
+    # sync stays a pointer swap. None/1 = single device (no mesh).
+    dp: Optional[int] = None
+    fsdp: Optional[int] = None
+    tp: int = 1
 
 
 class GRPOTrainer:
@@ -60,18 +82,31 @@ class GRPOTrainer:
         collator,
         cfg: GRPOConfig,
         score_fn: Callable = compute_score,
+        mesh=None,
     ):
         self.model = model
-        self.params = params
-        # Frozen snapshot: materialized COPIES (train_step donates the live
-        # params buffers; aliasing them would invalidate the reference).
-        self.ref_params = jax.tree.map(jnp.array, params)
         self.collator = collator
         self.cfg = cfg
         self.reward_manager = AutoRewardManager.create(cfg.reward_manager, score_fn)
 
+        # FSDP/TP sharding of policy + ref + optimizer state (the 8B RLHF
+        # story): ZeRO-3-style rules from parallel/sharding.py, same as the
+        # SFT trainer. Single-device meshes skip placement (see
+        # shard_params on the axon-relay slow path).
+        self.mesh = mesh or make_mesh(dp=cfg.dp, fsdp=cfg.fsdp, tp=cfg.tp)
+        self._use_mesh = self.mesh.devices.size > 1
+        self.param_shardings = param_sharding_rules(params, self.mesh)
+        self.params = shard_params(params, self.mesh)
+        # Frozen snapshot: materialized COPIES (train_step donates the live
+        # params buffers; aliasing them would invalidate the reference).
+        # jnp.copy under jit preserves each leaf's NamedSharding.
+        with self._mesh_ctx():
+            self.ref_params = jax.jit(
+                lambda t: jax.tree.map(jnp.copy, t)
+            )(self.params)
+
         self.engine = ServingEngine(
-            model, params,
+            model, self.params,
             EngineConfig(
                 max_slots=cfg.max_slots,
                 max_seq_len=cfg.seq_bucket + cfg.max_new_tokens,
@@ -87,11 +122,39 @@ class GRPOTrainer:
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.masked(optax.adamw(cfg.learning_rate), mask),
         )
-        self.opt_state = self.tx.init(params)
+        with self._mesh_ctx():
+            self.opt_state = init_opt_state(self.tx, self.params, self.mesh)
         self._mask = mask
         self._logprob_fn = jax.jit(self._token_logprobs)
         self._train_step = jax.jit(self._make_train_step(), donate_argnums=(0, 1))
         self.step = 0
+
+    def _mesh_ctx(self):
+        import contextlib
+
+        return self.mesh if self._use_mesh else contextlib.nullcontext()
+
+    def _put_batch(self, batch):
+        """Device arrays with leading dims sharded over the (dp, fsdp) data
+        axes (replicated when not divisible — GSPMD re-shards as needed)."""
+        if not self._use_mesh:
+            return jax.tree.map(
+                lambda x: jnp.asarray(x) if x is not None else None, batch
+            )
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        data_sh = batch_sharding(self.mesh)
+        repl = NamedSharding(self.mesh, PartitionSpec())
+        n_data = self.mesh.shape["dp"] * self.mesh.shape["fsdp"]
+
+        def put(x):
+            if x is None:
+                return None
+            x = np.asarray(x)
+            target = data_sh if (x.ndim > 0 and x.shape[0] % n_data == 0) else repl
+            return jax.device_put(x, target)
+
+        return jax.tree.map(put, batch)
 
     # ------------------------------------------------------------------
     def _token_logprobs(self, params, input_ids, attention_mask, mm_inputs=None):
@@ -120,7 +183,11 @@ class GRPOTrainer:
                 batch.get("mm_inputs"),
             )
             resp_mask = batch["response_mask"][:, 1:].astype(jnp.float32)
-            adv = batch["advantages"][:, None]
+            adv = batch["advantages"]
+            # GRPO passes one group-relative advantage per sequence (B,);
+            # PPO (rlhf/ppo.py) passes per-token GAE advantages (B, S-1).
+            if adv.ndim == 1:
+                adv = adv[:, None]
             ratio = jnp.exp(logprobs - batch["old_logprobs"])
             clipped = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps)
             pg = -jnp.minimum(ratio * adv, clipped * adv)
@@ -197,10 +264,10 @@ class GRPOTrainer:
             groups.std(axis=1, keepdims=True) + 1e-6
         )
         return {
-            "input_ids": jnp.asarray(input_ids),
-            "attention_mask": jnp.asarray(attention_mask),
-            "response_mask": jnp.asarray(response_mask),
-            "advantages": jnp.asarray(adv.reshape(-1), jnp.float32),
+            "input_ids": input_ids,
+            "attention_mask": attention_mask,
+            "response_mask": response_mask,
+            "advantages": adv.reshape(-1).astype(np.float32),
             "rewards": rewards,
             "mm_inputs": self._merge_mm_inputs(batches, n),
         }
@@ -234,9 +301,9 @@ class GRPOTrainer:
             return None
         return {
             mtype: {
-                "values": jnp.asarray(np.concatenate(d["values"], axis=0)),
-                "batch_idx": jnp.asarray(np.concatenate(d["batch_idx"])),
-                "token_pos": jnp.asarray(np.concatenate(d["token_pos"])),
+                "values": np.concatenate(d["values"], axis=0),
+                "batch_idx": np.concatenate(d["batch_idx"]),
+                "token_pos": np.concatenate(d["token_pos"]),
             }
             for mtype, d in merged.items()
         }
@@ -255,28 +322,34 @@ class GRPOTrainer:
     def train_on_prompts(self, prompts: List[Dict[str, Any]]) -> Dict[str, float]:
         """One GRPO iteration: rollout -> advantages -> ppo_epochs updates."""
         batch = self._rollout(prompts)
-        mm_inputs = batch.get("mm_inputs")
-        old_logprobs = self._logprob_fn(
-            self.params, batch["input_ids"], batch["attention_mask"], mm_inputs
+        device_batch = self._put_batch(
+            {k: v for k, v in batch.items() if k != "rewards"}
         )
-        ref_logprobs = self._logprob_fn(
-            self.ref_params, batch["input_ids"], batch["attention_mask"],
-            mm_inputs,
-        )
+        mm_inputs = device_batch.get("mm_inputs")
+        with self._mesh_ctx():
+            old_logprobs = self._logprob_fn(
+                self.params, device_batch["input_ids"],
+                device_batch["attention_mask"], mm_inputs,
+            )
+            ref_logprobs = self._logprob_fn(
+                self.ref_params, device_batch["input_ids"],
+                device_batch["attention_mask"], mm_inputs,
+            )
         train_batch = {
-            "input_ids": batch["input_ids"],
-            "attention_mask": batch["attention_mask"],
-            "response_mask": batch["response_mask"],
-            "advantages": batch["advantages"],
+            "input_ids": device_batch["input_ids"],
+            "attention_mask": device_batch["attention_mask"],
+            "response_mask": device_batch["response_mask"],
+            "advantages": device_batch["advantages"],
             "old_logprobs": old_logprobs,
             "ref_logprobs": ref_logprobs,
             "mm_inputs": mm_inputs,
         }
         metrics = {}
-        for _ in range(self.cfg.ppo_epochs):
-            self.params, self.opt_state, metrics = self._train_step(
-                self.params, self.opt_state, train_batch
-            )
+        with self._mesh_ctx():
+            for _ in range(self.cfg.ppo_epochs):
+                self.params, self.opt_state, metrics = self._train_step(
+                    self.params, self.opt_state, train_batch
+                )
         self.step += 1
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["reward_mean"] = float(batch["rewards"].mean())
