@@ -1,21 +1,82 @@
-"""Headline benchmark: CLIP ViT-L/14 preprocess + encode throughput.
+"""Headline benchmark covering every BASELINE.md north star.
 
-Measures images/sec/chip for the fused device pipeline (uint8 -> normalize
--> patchify -> ViT-L/14 -> MLP projector), the first BASELINE.md north-star
-metric (target: 2,000 images/sec/chip on TPU v5e).
+Primary metric: CLIP ViT-L/14 preprocess + encode images/sec/chip for the
+fused device pipeline (uint8 -> normalize -> patchify -> ViT-L/14 -> MLP
+projector; target 2,000 img/s). The same JSON line also carries:
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/2000}
+- ``bf16_value``      — the unquantized training-path tower;
+- ``sft_mfu``         — measured single-chip multimodal SFT MFU
+                        (benchmarks/mfu_single_chip.py; target >= 45%);
+- ``serve_ttft_p50_ms`` / ``serve_decode_tok_per_sec`` — MEDIAN of 3
+                        serving sessions (benchmarks/serve_bench.py;
+                        target p50 < 300 ms), not best-of-session;
+- ``roof_bf16_tflops`` / ``roof_int8_tflops`` — measured chip ceilings
+                        (benchmarks/roof_probe.py) contextualizing the
+                        img/s number against what this chip can reach.
+
+Subsections run as subprocesses with their own timeouts; a failed or
+timed-out section reports null rather than killing the primary metric.
+Set MMT_BENCH_FAST=1 to print the CLIP-only line (fast iteration).
+
+Prints ONE JSON line.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 2000.0
+
+
+def _run_json(cmd: list, timeout: int) -> dict:
+    """Run a benchmark subprocess; parse the LAST stdout line as JSON."""
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+        return json.loads(lines[-1]) if lines else {}
+    except Exception:
+        return {}
+
+
+def _extra_metrics() -> dict:
+    py = sys.executable
+    here = os.path.dirname(os.path.abspath(__file__))
+    bench = lambda name: os.path.join(here, "benchmarks", name)
+
+    roofs = _run_json([py, bench("roof_probe.py")], timeout=420)
+    mfu = _run_json([py, bench("mfu_single_chip.py"), "--steps", "6"],
+                    timeout=600)
+    serve = _run_json(
+        [py, bench("serve_bench.py"), "--slots", "16", "--requests", "16",
+         "--decode-chunk", "16", "--quantize-llm", "--sessions", "3",
+         "--json"],
+        timeout=600,
+    )
+    return {
+        "sft_mfu": mfu.get("mfu"),
+        "sft_tokens_per_sec": mfu.get("tokens_per_sec"),
+        "sft_mfu_vs_target": (
+            round(mfu["mfu"] / 0.45, 4) if mfu.get("mfu") else None
+        ),
+        "serve_ttft_p50_ms": serve.get("ttft_p50_ms"),
+        "serve_ttft_p95_ms": serve.get("ttft_p95_ms"),
+        "serve_decode_tok_per_sec": serve.get("decode_tok_per_sec"),
+        "serve_ttft_target_met": (
+            bool(serve["ttft_p50_ms"] < 300.0)
+            if serve.get("ttft_p50_ms") is not None else None
+        ),
+        "roof_bf16_tflops": roofs.get("bf16_dense_roof_tflops"),
+        "roof_int8_tflops": roofs.get("int8_requant_roof_tflops"),
+    }
 
 
 def main() -> None:
@@ -124,20 +185,19 @@ def main() -> None:
         assert np.isfinite(checksum)
     bf16_images_per_sec = batch * iters / dt_bf16
 
-    print(
-        json.dumps(
-            {
-                "metric": "clip_vitl14_preprocess_encode",
-                "value": round(images_per_sec, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 4),
-                "bf16_value": round(bf16_images_per_sec, 1),
-                "bf16_vs_baseline": round(
-                    bf16_images_per_sec / BASELINE_IMAGES_PER_SEC, 4
-                ),
-            }
-        )
-    )
+    record = {
+        "metric": "clip_vitl14_preprocess_encode",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 4),
+        "bf16_value": round(bf16_images_per_sec, 1),
+        "bf16_vs_baseline": round(
+            bf16_images_per_sec / BASELINE_IMAGES_PER_SEC, 4
+        ),
+    }
+    if not os.environ.get("MMT_BENCH_FAST"):
+        record.update(_extra_metrics())
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -26,6 +26,12 @@ def main():
     parser.add_argument("--kv-mode", choices=("paged", "slab"), default="paged")
     parser.add_argument("--decode-chunk", type=int, default=8)
     parser.add_argument("--quantize-llm", action="store_true")
+    parser.add_argument("--sessions", type=int, default=1,
+                        help="Timed sessions; reports the MEDIAN p50/decode "
+                             "(dispatch latency through the axon relay varies "
+                             "run to run — a single session over/understates)")
+    parser.add_argument("--json", action="store_true",
+                        help="Print one JSON line instead of text")
     args = parser.parse_args()
 
     import jax
@@ -91,21 +97,47 @@ def main():
             for i in range(args.requests)]
     engine.run()
 
-    reqs = [engine.submit(make_request(i)) for i in range(args.requests)]
-    t0 = time.time()
-    engine.run()
-    wall = time.time() - t0
+    sessions = []
+    for s in range(max(1, args.sessions)):
+        reqs = [engine.submit(make_request(s * args.requests + i))
+                for i in range(args.requests)]
+        t0 = time.time()
+        engine.run()
+        wall = time.time() - t0
+        ttfts = sorted(r.ttft for r in reqs)
+        total_tokens = sum(len(r.tokens) for r in reqs)
+        sessions.append({
+            "ttft_p50_ms": ttfts[len(ttfts) // 2] * 1000,
+            "ttft_p95_ms": ttfts[int(len(ttfts) * 0.95)] * 1000,
+            "tok_per_sec": total_tokens / wall,
+            "decode_tok_per_sec": (total_tokens - len(reqs)) / wall,
+        })
 
-    ttfts = sorted(r.ttft for r in reqs)
-    total_tokens = sum(len(r.tokens) for r in reqs)
-    decode_tokens = total_tokens - len(reqs)
-    print(f"requests={len(reqs)} slots={args.slots} prompt={args.prompt_len} "
-          f"new={args.new_tokens}")
-    print(f"TTFT p50={ttfts[len(ttfts)//2]*1000:.0f} ms "
-          f"p95={ttfts[int(len(ttfts)*0.95)]*1000:.0f} ms "
-          f"(includes queue wait)")
-    print(f"aggregate: {total_tokens} tokens in {wall:.2f}s -> "
-          f"{total_tokens/wall:.0f} tok/s; decode-only {decode_tokens/wall:.0f} tok/s")
+    import json as _json
+
+    import numpy as _np
+
+    median = {k: float(_np.median([s[k] for s in sessions])) for k in sessions[0]}
+    if args.json:
+        print(_json.dumps({
+            "metric": "serve_1b_multimodal",
+            "requests": args.requests, "slots": args.slots,
+            "prompt_len": args.prompt_len, "new_tokens": args.new_tokens,
+            "sessions": len(sessions),
+            **{k: round(v, 1) for k, v in median.items()},
+            "per_session": [
+                {k: round(v, 1) for k, v in s.items()} for s in sessions
+            ],
+        }))
+        return
+    print(f"requests={args.requests} slots={args.slots} "
+          f"prompt={args.prompt_len} new={args.new_tokens} "
+          f"sessions={len(sessions)}")
+    print(f"TTFT p50={median['ttft_p50_ms']:.0f} ms "
+          f"p95={median['ttft_p95_ms']:.0f} ms "
+          f"(median of {len(sessions)} sessions, includes queue wait)")
+    print(f"aggregate: {median['tok_per_sec']:.0f} tok/s; "
+          f"decode-only {median['decode_tok_per_sec']:.0f} tok/s")
 
 
 if __name__ == "__main__":
