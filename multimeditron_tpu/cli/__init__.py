@@ -28,3 +28,4 @@ from multimeditron_tpu.cli import rlhf as _rlhf  # noqa: E402,F401
 from multimeditron_tpu.cli import experts as _experts  # noqa: E402,F401
 from multimeditron_tpu.cli import exec_service as _exec_service  # noqa: E402,F401
 from multimeditron_tpu.cli import prep_images as _prep_images  # noqa: E402,F401
+from multimeditron_tpu.cli import evaluate as _evaluate  # noqa: E402,F401

@@ -30,6 +30,10 @@ class ChatTemplate:
     after_start: str = ""
     after_end: str = ""
     add_bos: bool = True
+    # Llama-3's HF Jinja template renders ``message['content'] | trim`` —
+    # matching it keeps render() byte-identical to the tokenizer path the
+    # reference trains with (tests/test_chat_template_golden.py).
+    trim_content: bool = False
 
     # ------------------------------------------------------------------
     # Built-ins
@@ -73,6 +77,7 @@ class ChatTemplate:
             after_start="\n\n",
             after_end="",
             add_bos=True,
+            trim_content=True,
         )
 
     @staticmethod
@@ -141,6 +146,8 @@ class ChatTemplate:
                     f"Role {role!r} has no delimiters in template {self.name!r}"
                 )
             content = message.get("content", message.get("value", ""))
+            if self.trim_content:
+                content = content.strip()
             delim = self.delimiters[role]
             parts.append(
                 f"{delim['start']}{self.after_start}{content}{delim['end']}{self.after_end}"
