@@ -24,7 +24,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--variants", default="full,tower,xla,matmul",
+                    help="Comma-separated subset (each compiles a large "
+                         "graph; the relay makes 4 compiles ~10 min)")
     args = ap.parse_args()
+    variants = set(args.variants.split(","))
 
     import jax
     import jax.numpy as jnp
@@ -84,10 +88,11 @@ def main():
             return jnp.sum(mlp_projector_forward(proj, f).astype(jnp.float32))
         return scan_over(stack, body)
 
-    dt = timed(full, stack)
     n = B * iters
-    results["full_img_s"] = n / dt
-    results["full_tflops"] = n * (flops_tower + flops_proj) / dt / 1e12
+    if "full" in variants:
+        dt = timed(full, stack)
+        results["full_img_s"] = n / dt
+        results["full_tflops"] = n * (flops_tower + flops_proj) / dt / 1e12
 
     # tower only, Pallas encoder attention
     def tower(stack):
@@ -96,9 +101,10 @@ def main():
             return jnp.sum(vit_forward(params, cfg, px).astype(jnp.float32))
         return scan_over(stack, body)
 
-    dt = timed(tower, stack)
-    results["tower_img_s"] = n / dt
-    results["tower_tflops"] = n * flops_tower / dt / 1e12
+    if "tower" in variants:
+        dt = timed(tower, stack)
+        results["tower_img_s"] = n / dt
+        results["tower_tflops"] = n * flops_tower / dt / 1e12
 
     # tower with XLA attention (is the Pallas encoder kernel winning?)
     def tower_xla(stack):
@@ -108,8 +114,9 @@ def main():
                 vit_forward(params, cfg, px, attn_impl="xla").astype(jnp.float32))
         return scan_over(stack, body)
 
-    dt = timed(tower_xla, stack)
-    results["tower_xla_attn_img_s"] = n / dt
+    if "xla" in variants:
+        dt = timed(tower_xla, stack)
+        results["tower_xla_attn_img_s"] = n / dt
 
     # matmuls only: same layer structure, attention replaced by identity,
     # LN replaced by a scale (keeps shapes; drops VPU cost) -> upper bound
@@ -138,10 +145,11 @@ def main():
             return jnp.sum(x.astype(jnp.float32))
         return scan_over(stack, body)
 
-    dt = timed(tower_mm, stack)
-    mm_flops = n * (L * (4 * 2 * S * D * D + 2 * 2 * S * D * F))
-    results["matmul_only_img_s"] = n / dt
-    results["matmul_only_tflops"] = mm_flops / dt / 1e12
+    if "matmul" in variants:
+        dt = timed(tower_mm, stack)
+        mm_flops = n * (L * (4 * 2 * S * D * D + 2 * 2 * S * D * F))
+        results["matmul_only_img_s"] = n / dt
+        results["matmul_only_tflops"] = mm_flops / dt / 1e12
 
     print(json.dumps({k: round(v, 1) for k, v in results.items()}))
 

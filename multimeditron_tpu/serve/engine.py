@@ -680,36 +680,92 @@ class ServingEngine:
             else:
                 self.active[slot] = True
 
+    def _build_chunk_prefill_slab_fn(self, bucket: int) -> Callable:
+        """Paged-mode chunked prefill into a PERSISTENT contiguous slab.
+
+        Round-2 version gathered the slot's whole page allotment into a
+        slab and scattered every page back on EVERY chunk —
+        O(max_seq_len) HBM traffic per chunk. The slab now lives across
+        chunks (donated through each call), so chunks pay zero
+        gather/scatter; the finished prompt's KV is folded into the page
+        pool ONCE by ``_get_slab_scatter_fn`` after the last chunk."""
+        model, cfg = self.model, self.cfg
+        llm = model.config.llm
+        sampler = self._make_sampler()
+
+        def chunk_prefill(params, slab, input_ids, attention_mask,
+                          mm_inputs, start_len, temps, top_ps, seed):
+            embeds = model.embed(params, input_ids, mm_inputs)
+            slot_cache = {"k": slab["k"], "v": slab["v"],
+                          "length": start_len[None]}
+            logits, slot_cache = llama_forward(
+                params["llm"], llm,
+                inputs_embeds=embeds,
+                attention_mask=attention_mask,
+                kv_cache=slot_cache,
+                prefill=True,
+                attn_impl=cfg.attn_impl,
+            )
+            chunk_len = attention_mask.sum(axis=-1).astype(jnp.int32)
+            last = jnp.take_along_axis(
+                logits, (chunk_len - 1)[:, None, None], axis=1)[:, 0]
+            slab = {"k": slot_cache["k"], "v": slot_cache["v"]}
+            return slab, sampler(last, temps, top_ps, seed)
+
+        return jax.jit(chunk_prefill, donate_argnums=(1,))
+
+    def _get_slab_scatter_fn(self) -> Callable:
+        """One-time fold of the chunked-prefill slab into the page pool."""
+        if getattr(self, "_slab_scatter_fn", None) is None:
+            P, pm = self.page_size, self.pages_max
+
+            def scatter(state, slab, dest):
+                L_, _, Hkv, cap, Dh = slab["k"].shape
+                back_k = slab["k"][:, 0].reshape(L_, Hkv, pm, P, Dh)
+                back_v = slab["v"][:, 0].reshape(L_, Hkv, pm, P, Dh)
+                k = state["k"].at[:, :, dest].set(back_k)
+                v = state["v"].at[:, :, dest].set(back_v)
+                return {**state, "k": k, "v": v}
+
+            self._slab_scatter_fn = jax.jit(scatter, donate_argnums=(0,))
+        return self._slab_scatter_fn
+
+    def _get_chunk_slab(self):
+        """Persistent (L, 1, Hkv, pages_max*P, Dh) scratch slab, reused by
+        every chunked prefill (stale tail KV is never attended: chunk i
+        only attends positions < start_len + chunk written by this
+        prompt)."""
+        if getattr(self, "_chunk_slab", None) is None:
+            llm = self.model.config.llm
+            Dh = llm.head_dim_
+            cap = self.pages_max * self.page_size
+            dtype = self.state["k"].dtype
+            self._chunk_slab = {
+                "k": jnp.zeros((llm.num_layers, 1, llm.num_kv_heads, cap, Dh),
+                               dtype),
+                "v": jnp.zeros((llm.num_layers, 1, llm.num_kv_heads, cap, Dh),
+                               dtype),
+            }
+        return self._chunk_slab
+
     def _build_chunk_prefill_fn(self, bucket: int) -> Callable:
         """Prefill ONE chunk of a long prompt into a slot's cache at
         ``start_len`` (sglang-style chunked prefill: prompts beyond the
         largest bucket no longer raise, SURVEY §2.3 parity item).
 
-        Paged mode gathers the slot's pages into a contiguous slab (the
-        chunk must attend over earlier chunks' KV), prefills into it, and
-        scatters all pages back — O(max_seq_len) extra traffic per chunk,
-        paid only by rare beyond-largest-bucket prompts."""
+        Non-paged (slab kv_mode) only — paged mode goes through
+        ``_build_chunk_prefill_slab_fn``."""
         model, cfg = self.model, self.cfg
         llm = model.config.llm
-        paged = self.paged
 
         sampler = self._make_sampler()
 
         def chunk_prefill(params, state, input_ids, attention_mask,
                           mm_inputs, dest, start_len, temps, top_ps, seed):
             embeds = model.embed(params, input_ids, mm_inputs)
-            if paged:
-                P, pm = self.page_size, self.pages_max
-                # dest: (pm,) pool page ids of this slot
-                k_slot = jnp.take(state["k"], dest, axis=2)  # (L,Hkv,pm,P,Dh)
-                v_slot = jnp.take(state["v"], dest, axis=2)
-                L_, Hkv, _, _, Dh = k_slot.shape
-                k_slot = k_slot.reshape(L_, Hkv, pm * P, Dh)[:, None]
-                v_slot = v_slot.reshape(L_, Hkv, pm * P, Dh)[:, None]
-            else:
-                # dest: scalar slot id
-                k_slot = jax.lax.dynamic_slice_in_dim(state["k"], dest, 1, axis=1)
-                v_slot = jax.lax.dynamic_slice_in_dim(state["v"], dest, 1, axis=1)
+            # dest: scalar slot id
+            k_slot = jax.lax.dynamic_slice_in_dim(state["k"], dest, 1, axis=1)
+            v_slot = jax.lax.dynamic_slice_in_dim(state["v"], dest, 1, axis=1)
             slot_cache = {"k": k_slot, "v": v_slot,
                           "length": start_len[None]}
             logits, slot_cache = llama_forward(
@@ -720,16 +776,10 @@ class ServingEngine:
                 prefill=True,
                 attn_impl=cfg.attn_impl,
             )
-            if paged:
-                back_k = slot_cache["k"][:, 0].reshape(L_, Hkv, pm, P, Dh)
-                back_v = slot_cache["v"][:, 0].reshape(L_, Hkv, pm, P, Dh)
-                k = state["k"].at[:, :, dest].set(back_k)
-                v = state["v"].at[:, :, dest].set(back_v)
-            else:
-                k = jax.lax.dynamic_update_slice(
-                    state["k"], slot_cache["k"], (0, dest, 0, 0, 0))
-                v = jax.lax.dynamic_update_slice(
-                    state["v"], slot_cache["v"], (0, dest, 0, 0, 0))
+            k = jax.lax.dynamic_update_slice(
+                state["k"], slot_cache["k"], (0, dest, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                state["v"], slot_cache["v"], (0, dest, 0, 0, 0))
             chunk_len = attention_mask.sum(axis=-1).astype(jnp.int32)
             last = jnp.take_along_axis(
                 logits, (chunk_len - 1)[:, None, None], axis=1)[:, 0]
@@ -801,6 +851,7 @@ class ServingEngine:
         if self.paged:
             self._reserve_pages(req, slot)
             dest = jnp.asarray(self.page_table[slot].astype(np.int32))
+            slab = self._get_chunk_slab()
         start = 0
         first_token = None
         temps = np.asarray([req.temperature], np.float32)
@@ -813,17 +864,36 @@ class ServingEngine:
             chunk_mask = np.zeros((1, bucket), np.int32)
             chunk_mask[0, :c] = 1
             key = ("chunk", bucket, mm_sig)
-            if key not in self._chunk_prefill_fns:
-                self._chunk_prefill_fns[key] = self._build_chunk_prefill_fn(bucket)
-            self.state, first_token = self._chunk_prefill_fns[key](
-                self.params,
-                self.state,
-                jnp.asarray(chunk_ids), jnp.asarray(chunk_mask),
-                self._chunk_mm(mm, start, c, bucket),
-                dest if self.paged else jnp.int32(slot), jnp.int32(start),
-                jnp.asarray(temps), jnp.asarray(top_ps), self._next_seed(),
-            )
+            if self.paged:
+                if key not in self._chunk_prefill_fns:
+                    self._chunk_prefill_fns[key] = (
+                        self._build_chunk_prefill_slab_fn(bucket))
+                slab, first_token = self._chunk_prefill_fns[key](
+                    self.params, slab,
+                    jnp.asarray(chunk_ids), jnp.asarray(chunk_mask),
+                    self._chunk_mm(mm, start, c, bucket),
+                    jnp.int32(start),
+                    jnp.asarray(temps), jnp.asarray(top_ps),
+                    self._next_seed(),
+                )
+            else:
+                if key not in self._chunk_prefill_fns:
+                    self._chunk_prefill_fns[key] = (
+                        self._build_chunk_prefill_fn(bucket))
+                self.state, first_token = self._chunk_prefill_fns[key](
+                    self.params,
+                    self.state,
+                    jnp.asarray(chunk_ids), jnp.asarray(chunk_mask),
+                    self._chunk_mm(mm, start, c, bucket),
+                    jnp.int32(slot), jnp.int32(start),
+                    jnp.asarray(temps), jnp.asarray(top_ps),
+                    self._next_seed(),
+                )
             start += c
+        if self.paged:
+            # fold the prompt's KV into the page pool ONCE
+            self._chunk_slab = slab
+            self.state = self._get_slab_scatter_fn()(self.state, slab, dest)
 
         first = int(np.asarray(first_token)[0])
         page_row = (self.page_table[slot].astype(np.int32) if self.paged
