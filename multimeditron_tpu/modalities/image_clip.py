@@ -173,7 +173,7 @@ class ImageModality(BaseModality):
         )
         return {"embedder": tower, "projector": proj}
 
-    def encode(self, params: Dict[str, Any], values: jax.Array) -> jax.Array:
+    def _normalize_wire(self, values: jax.Array) -> jax.Array:
         if values.dtype == jnp.uint8:
             # uint8 wire format: /255 + normalize here so XLA fuses it
             # into the tower's patchify matmul (same f32 math, same
@@ -182,8 +182,22 @@ class ImageModality(BaseModality):
             x = values.astype(jnp.float32) / 255.0
             values = ((x - jnp.asarray(p._mean, jnp.float32))
                       / jnp.asarray(p._std, jnp.float32))
+        return values
+
+    def encode(self, params: Dict[str, Any], values: jax.Array) -> jax.Array:
+        values = self._normalize_wire(values)
         embedder = params["embedder"]
-        if "q_proj_q" in embedder.get("layers", {}):
+        if "wqkv_q" in embedder:
+            # fused-Pallas W8A8 tower (quantize_params(..., fused=True)):
+            # int32 accumulators, quantize epilogues, LN and residuals stay
+            # in VMEM (ops/vit_int8_fused.py)
+            from multimeditron_tpu.ops.vit_int8_fused import vit_forward_int8_fused
+
+            feats = vit_forward_int8_fused(
+                embedder, self.vit_cfg, values, params["act_scales"],
+                drop_cls=True,
+            )
+        elif "q_proj_q" in embedder.get("layers", {}):
             # int8-quantized tower (see quantize_params / models/vit_quant.py)
             from multimeditron_tpu.models.vit_quant import vit_forward_int8
 
@@ -196,11 +210,40 @@ class ImageModality(BaseModality):
         return mlp_projector_forward(params["projector"], feats)
 
     def quantize_params(
-        self, params: Dict[str, Any], calibration_values: Optional[jax.Array] = None
+        self,
+        params: Dict[str, Any],
+        calibration_values: Optional[jax.Array] = None,
+        fused: bool = False,
     ) -> Dict[str, Any]:
         """W8A8-quantize the tower for inference/serving (optional static
         activation calibration). The returned tree routes ``encode``
-        through the int8 path automatically."""
+        through the int8 path automatically.
+
+        ``fused=True`` packs the fully-fused Pallas layout
+        (ops/vit_int8_fused.py) instead — faster, but requires
+        ``calibration_values`` (the fused kernels take static per-layer
+        activation scales). Also used by the trainer's
+        ``quantize_frozen_towers`` option: a frozen tower is pure forward,
+        so the serving path is legal during training."""
+        if fused:
+            from multimeditron_tpu.ops.vit_int8_fused import (
+                calibrate_vit_int8_fused,
+                pack_vit_int8_fused,
+            )
+
+            if calibration_values is None:
+                raise ValueError(
+                    "fused int8 quantization needs calibration_values "
+                    "(static per-layer activation scales)"
+                )
+            calib = self._normalize_wire(jnp.asarray(calibration_values))
+            out = dict(params)
+            out["act_scales"] = calibrate_vit_int8_fused(
+                params["embedder"], self.vit_cfg, calib
+            )
+            out["embedder"] = pack_vit_int8_fused(params["embedder"])
+            return out
+
         from multimeditron_tpu.models.vit_quant import (
             calibrate_act_scales,
             quantize_vit_params,

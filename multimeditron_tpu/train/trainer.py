@@ -72,6 +72,12 @@ class TrainerConfig:
     # compute
     remat: bool = True
     attn_impl: Optional[str] = None
+    # Route FROZEN modality towers through the fused W8A8 Pallas path
+    # during training (a frozen tower is pure forward — no grads flow
+    # through it — so the serving kernels are legal; cosine >= 0.999 vs
+    # bf16). Calibrated lazily from the first batch. Invalid with
+    # training_mode=FULL (the embedder trains there).
+    quantize_frozen_towers: bool = False
     # logging / ckpt
     log_every: int = 1
     save_every: Optional[int] = None
@@ -197,6 +203,7 @@ class MultimodalTrainer:
                 self.tx, self.params, self.mesh, pp=self._pp
             )
         self.step = 0
+        self._qmods = None  # quantize_frozen_towers: built from 1st batch
         self._train_step = self._build_train_step()
 
     def _mesh_ctx(self):
@@ -209,20 +216,28 @@ class MultimodalTrainer:
         model, cfg, mask = self.model, self.cfg, self.trainable_mask
         fwd_mesh = self.mesh if self._pp else None
 
-        def loss_fn(params, batch):
+        def loss_fn(params, batch, qmods):
             # Frozen subtrees contribute no gradient (and their backward is
             # DCE'd), mirroring requires_grad=False.
             p = jax.tree.map(
                 lambda x, m: x if m else jax.lax.stop_gradient(x), params, mask
             )
+            if qmods:
+                # quantize_frozen_towers: splice the fused-int8 tower over
+                # the (frozen, now-unused) bf16 embedder; the trainable
+                # projector stays the live leaf from ``params``.
+                mods = dict(p["modalities"])
+                for mtype, qm in qmods.items():
+                    mods[mtype] = {**mods[mtype], **qm}
+                p = {**p, "modalities": mods}
             _, loss = model.forward(
                 p, batch, attn_impl=cfg.attn_impl, remat=cfg.remat,
                 mesh=fwd_mesh,
             )
             return loss
 
-        def train_step(params, opt_state, batch):
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        def train_step(params, opt_state, batch, qmods):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, qmods)
             grad_norm = optax.global_norm(grads)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -312,16 +327,51 @@ class MultimodalTrainer:
     def train_step(self, batch: Dict[str, Any]) -> Dict[str, float]:
         """One microbatch step. With grad_accum > 1 the optimizer applies
         once every grad_accum calls (optax.MultiSteps)."""
+        self._maybe_quantize_frozen_towers(batch)
         if self._use_mesh:
             batch = self.shard_batch(batch)
         else:
             batch = jax.tree.map(jnp.asarray, batch)
         with self._mesh_ctx():
             self.params, self.opt_state, metrics = self._train_step(
-                self.params, self.opt_state, batch
+                self.params, self.opt_state, batch, self._qmods
             )
         self.step += 1
         return metrics
+
+    def _maybe_quantize_frozen_towers(self, batch: Dict[str, Any]) -> None:
+        """Build the fused-int8 twin of each FROZEN modality tower, once,
+        calibrated on the first batch's modality items (static activation
+        scales; cfg.quantize_frozen_towers)."""
+        if not self.cfg.quantize_frozen_towers or self._qmods is not None:
+            return
+        if TrainingMode(self.cfg.training_mode) == TrainingMode.FULL:
+            raise ValueError(
+                "quantize_frozen_towers needs frozen embedders "
+                "(training_mode != FULL)"
+            )
+        qmods: Dict[str, Any] = {}
+        for mtype, pack in (batch.get("mm_inputs") or {}).items():
+            mod = self.model.modalities.get(mtype)
+            if mod is None or not hasattr(mod, "quantize_params"):
+                continue
+            try:
+                with self._mesh_ctx():
+                    q = mod.quantize_params(
+                        self.params["modalities"][mtype],
+                        calibration_values=np.asarray(pack["values"])[:16],
+                        fused=True,
+                    )
+            except TypeError:  # modality without a fused path
+                continue
+            # pack carries non-layer leaves (patch_proj, pos embed, ...)
+            # through by reference; copy so no qmods buffer aliases the
+            # DONATED params argument of the train step.
+            qmods[mtype] = jax.tree.map(
+                lambda x: x.copy() if hasattr(x, "copy") else x,
+                {"embedder": q["embedder"], "act_scales": q["act_scales"]},
+            )
+        self._qmods = qmods or None
 
     def train(
         self,

@@ -14,7 +14,8 @@ from tests.test_multimodal import ATTACH, _img, _samples, tiny_mm_config
 from tests.fixtures.toy_tokenizer import ToyTokenizer
 
 
-def _make(training_mode=TrainingMode.ALIGNMENT, grad_accum=1, dp=None, fsdp=None, tp=1):
+def _make(training_mode=TrainingMode.ALIGNMENT, grad_accum=1, dp=None, fsdp=None, tp=1,
+          **cfg_overrides):
     model = MultimodalModel(tiny_mm_config())
     params = model.init_params(jax.random.PRNGKey(0))
     cfg = TrainerConfig(
@@ -28,6 +29,7 @@ def _make(training_mode=TrainingMode.ALIGNMENT, grad_accum=1, dp=None, fsdp=None
         tp=tp,
         remat=True,
         output_dir="/tmp/mmt_test_ckpt",
+        **cfg_overrides,
     )
     trainer = MultimodalTrainer(model, params, cfg)
     tok = ToyTokenizer()
@@ -116,3 +118,61 @@ def test_param_shardings_cover_tree():
     n_params = len(jax.tree.leaves(params))
     n_rules = len(jax.tree.leaves(rules))
     assert n_params == n_rules
+
+
+def test_quantize_frozen_towers_matches_bf16_and_updates_projector():
+    """cfg.quantize_frozen_towers: the frozen CLIP tower runs through the
+    fused W8A8 Pallas path during training — loss tracks the bf16 run and
+    the projector still learns (grads flow through tower OUTPUTS only)."""
+    model, trainer_q, collator = _make(
+        TrainingMode.ALIGNMENT, quantize_frozen_towers=True)
+    _, trainer_bf16, _ = _make(TrainingMode.ALIGNMENT)
+    batch = collator(_samples())
+
+    before = np.asarray(
+        trainer_q.params["modalities"]["image"]["projector"]["fc1"]).copy()
+    emb_before = np.asarray(
+        trainer_q.params["modalities"]["image"]["embedder"]["patch_proj"]
+    ).copy()
+
+    m_q = trainer_q.train_step(batch)
+    m_bf16 = trainer_bf16.train_step(batch)
+    loss_q, loss_b = float(m_q["loss"]), float(m_bf16["loss"])
+    assert np.isfinite(loss_q)
+    # int8 tower built (calibrated from this batch) and spliced
+    assert trainer_q._qmods is not None and "image" in trainer_q._qmods
+    assert "wqkv_q" in trainer_q._qmods["image"]["embedder"]
+    # quantization noise must not move the loss materially
+    assert abs(loss_q - loss_b) / max(loss_b, 1e-6) < 0.05
+
+    after = np.asarray(
+        trainer_q.params["modalities"]["image"]["projector"]["fc1"])
+    assert not np.allclose(before, after)  # projector learned
+    np.testing.assert_array_equal(  # frozen bf16 master copy untouched
+        emb_before,
+        np.asarray(
+            trainer_q.params["modalities"]["image"]["embedder"]["patch_proj"]),
+    )
+    # second step reuses the cached qmods (no recalibration)
+    qm = trainer_q._qmods
+    trainer_q.train_step(batch)
+    assert trainer_q._qmods is qm
+
+
+def test_quantize_frozen_towers_rejects_full_mode():
+    model, trainer, collator = _make(
+        TrainingMode.FULL, quantize_frozen_towers=True)
+    batch = collator(_samples())
+    with pytest.raises(ValueError, match="frozen"):
+        trainer.train_step(batch)
+
+
+def test_quantize_frozen_towers_on_fsdp_mesh():
+    """The spliced int8 tower composes with GSPMD sharding (fsdp x tp)."""
+    model, trainer, collator = _make(
+        TrainingMode.END2END, fsdp=2, tp=2, quantize_frozen_towers=True)
+    samples = _samples() + _samples()
+    batch = collator(samples)
+    m = trainer.train_step(batch)
+    assert np.isfinite(float(m["loss"]))
+    assert trainer._qmods is not None and "image" in trainer._qmods
