@@ -238,10 +238,12 @@ class ImageModality(BaseModality):
                 )
             calib = self._normalize_wire(jnp.asarray(calibration_values))
             out = dict(params)
-            out["act_scales"] = calibrate_vit_int8_fused(
-                params["embedder"], self.vit_cfg, calib
-            )
-            out["embedder"] = pack_vit_int8_fused(params["embedder"])
+            # one compiled call (eager per-op dispatch is ~30-40 ms each
+            # through the TPU relay; the calibration pass has thousands)
+            out["act_scales"] = jax.jit(
+                calibrate_vit_int8_fused, static_argnums=(1,)
+            )(params["embedder"], self.vit_cfg, calib)
+            out["embedder"] = jax.jit(pack_vit_int8_fused)(params["embedder"])
             return out
 
         from multimeditron_tpu.models.vit_quant import (
