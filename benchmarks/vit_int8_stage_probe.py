@@ -144,6 +144,38 @@ def main():
         "tflops": round(layer_flops / (total_us * 1e-6) / 1e12, 1),
         "implied_img_s": round(B / (24 * total_us * 1e-6), 1),
     }
+
+    # ---- isolate the attn half's two kernels (attribution only; each
+    # chain adds one cheap elementwise/copy op as the loop carrier, so
+    # absolute numbers skew slightly high) ----
+    def run_qkv_attn_only(xq0):
+        def body(i, xq):
+            o = qkv_attn_int8(xq.reshape(B, Sp, D), wqkv, ws, qkv_b,
+                              scales6, H, S, block_imgs=args.block_imgs,
+                              out_dtype=jnp.bfloat16).reshape(M, D)
+            return jnp.clip(jnp.round(o.astype(jnp.float32) * 20.0),
+                            -127, 127).astype(jnp.int8)
+
+        return jax.lax.fori_loop(0, L, body, xq0).astype(jnp.float32).sum()
+
+    qkv_attn_flops = 3 * 2 * M * D * D + 2 * 2 * B * S * S * (D // H) * H
+    dt = timed(run_qkv_attn_only, i8(M, D))
+    results["qkv_attn_only"] = {
+        "us_per_layer": round(dt * 1e6, 1),
+        "tflops": round(qkv_attn_flops / dt / 1e12, 1)}
+
+    def run_oproj_only(o0):
+        def body(i, o):
+            xp, _ = oproj_ln_quant(o, xres, wo, wo_s, o_b, lnw, lnb,
+                                   s, s, 1e-5, block_rows=args.block_rows)
+            return xp
+
+        return jax.lax.fori_loop(0, L, body, o0).astype(jnp.float32).sum()
+
+    dt = timed(run_oproj_only, bf(M, D))
+    results["oproj_only"] = {
+        "us_per_layer": round(dt * 1e6, 1),
+        "tflops": round(2 * M * D * D / dt / 1e12, 1)}
     print(json.dumps(results))
 
 

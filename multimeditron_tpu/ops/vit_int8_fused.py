@@ -160,9 +160,12 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
     """Merged QKV projection + int8 encoder attention for G images.
 
     One kernel per layer-half keeps q/k/v entirely in VMEM (never written
-    to HBM) and lets Mosaic overlap one image's VPU softmax with the next
-    image's MXU score dots. sc_ref rows: [s0, 1/sq, 1/sk, 1/sv,
-    sq*sk*sm_scale, sv/127]."""
+    to HBM). The per-image loop is software-pipelined over a DOUBLE-
+    BUFFERED score scratch: image g+1's QK^T dots (MXU) are issued before
+    image g's softmax + PV (VPU-heavy consume), so the two phases have no
+    scratch hazard and Mosaic overlaps them (a single scratch serializes
+    on the write-after-read: dots(g+1) must wait for softmax(g)).
+    sc_ref rows: [s0, 1/sq, 1/sk, 1/sv, sq*sk*sm_scale, sv/127]."""
     G, Sp, D = xq_ref.shape
     dh = D // num_heads
     x2 = xq_ref[:].reshape(G * Sp, D)
@@ -175,16 +178,20 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
     q8, k8, v8 = qkv
     qk_scale = sc_ref[4, 0]
     pv_scale = sc_ref[5, 0]
-    for g in range(G):
+
+    def dots(g, slot):
         rows = slice(g * Sp, (g + 1) * Sp)
-        qg, kg, vg = q8[rows], k8[rows], v8[rows]
+        qg, kg = q8[rows], k8[rows]
         for h in range(num_heads):
             sl = slice(h * dh, (h + 1) * dh)
-            s_scr[pl.ds(h * Sp, Sp), :] = jax.lax.dot_general(
+            s_scr[slot, pl.ds(h * Sp, Sp), :] = jax.lax.dot_general(
                 qg[:, sl], kg[:, sl], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
-        sc = s_scr[:] * qk_scale
+
+    def consume(g, slot):
+        vg = v8[g * Sp:(g + 1) * Sp]
+        sc = s_scr[slot] * qk_scale
         if kv_len < Sp:
             lane = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
             sc = jnp.where(lane < kv_len, sc, -1e30)
@@ -201,6 +208,12 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
             )
             o_ref[g, :, sl] = (acc.astype(jnp.float32) * pv_scale
                                / l[h * Sp:(h + 1) * Sp]).astype(o_ref.dtype)
+
+    dots(0, 0)
+    for g in range(G):
+        if g + 1 < G:
+            dots(g + 1, (g + 1) % 2)
+        consume(g, g % 2)
 
 
 # ---------------------------------------------------------------------------
@@ -455,7 +468,7 @@ def qkv_attn_int8(xq3, wq, ws, bias, scales6, num_heads, kv_len,
         ],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, Sp, D), out_dtype),
-        scratch_shapes=[pltpu.VMEM((num_heads * Sp, Sp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, num_heads * Sp, Sp), jnp.float32)],
         compiler_params=_cparams(),
         interpret=_use_interpret(interpret),
     )(xq3, wq, ws, bias, scales6)
