@@ -206,6 +206,30 @@ def int8_requant_roof(tiles: int = 8, rows: int = 1056, k: int = 1024,
     return results
 
 
+def hbm_stream_bw(mb: int = 256, iters: int = 32) -> float:
+    """Effective HBM read+write GB/s of a dependent elementwise chain
+    (y = y * c + 1): decides whether row-chained kernels are
+    traffic-bound (each 1056-row block of the fused encoder moves
+    ~6-26 MB between kernels)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = mb * 1024 * 1024 // 2  # bf16 elements
+    x = jnp.ones((n // 1024, 1024), jnp.bfloat16)
+
+    @jax.jit
+    def run(x):
+        def body(i, y):
+            return y * jnp.bfloat16(1.0001) + jnp.bfloat16(1.0)
+
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, x,
+                                         unroll=False).astype(jnp.float32))
+
+    float(run(x))
+    dt = _time_best(run, x)
+    return iters * 2 * mb / 1024 / dt  # GB moved / s
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true")
@@ -218,9 +242,11 @@ def main():
     bf16 = bf16_dense_roof(n=args.n)
     int8 = int8_requant_roof(tiles=args.tiles, rows=args.rows,
                              chain=args.chain)
+    bw = hbm_stream_bw()
     out = {
         "bf16_dense_roof_tflops": round(bf16, 1),
         "int8_requant_roof_tflops": round(int8["best"], 1),
+        "hbm_stream_gbps": round(bw, 1),
         "int8_detail": {kk: (round(v, 1) if isinstance(v, float) else v)
                         for kk, v in int8.items()},
     }

@@ -164,6 +164,24 @@ def main():
         "us_per_layer": round(dt * 1e6, 1),
         "tflops": round(qkv_attn_flops / dt / 1e12, 1)}
 
+    # ---- merged MLP half: one kernel, hidden stays in VMEM ----
+    from multimeditron_tpu.ops.vit_int8_fused import mlp_fused
+
+    def run_mlp_fused(xq0):
+        def body(i, carry):
+            xq, xp = carry
+            xn, xqn = mlp_fused(xq, xp, w1, w1_s, b1, w2, w2_s, b2,
+                                lnw, lnb, s, s, s, 1e-5,
+                                "quick_gelu", block_rows=args.block_rows)
+            return (xqn, xn)
+
+        xq, xn = jax.lax.fori_loop(0, L, body, (xq0, xres))
+        return xn.astype(jnp.float32).sum()
+
+    dt = timed(run_mlp_fused, i8(M, D))
+    results["mlp_fused"] = {"us_per_layer": round(dt * 1e6, 1),
+                            "tflops": round(mlp_flops / dt / 1e12, 1)}
+
     def run_oproj_only(o0):
         def body(i, o):
             xp, _ = oproj_ln_quant(o, xres, wo, wo_s, o_b, lnw, lnb,

@@ -155,6 +155,44 @@ def _fc2_ln_kernel(h_ref, xres_ref, w_ref, ws_ref, b_ref, lnw_ref, lnb_ref,
     xq_ref[:] = _quant_f32(h, inv_s0n_ref[0, 0])
 
 
+def _mlp_fused_kernel(xq_ref, xres_ref, w1_ref, w1s_ref, b1_ref,
+                      w2_ref, w2s_ref, b2_ref, lnw_ref, lnb_ref,
+                      s2_ref, inv_s3_ref, s3_ref, inv_s0n_ref,
+                      xout_ref, xq_out_ref, *, act, eps, block_cols):
+    """fc1+gelu+quant+fc2+residual+LN+quant in ONE kernel: the (rows, F)
+    int8 hidden never touches HBM (the split pair writes+reads it,
+    ~8.6 MB per 1056-row block). The F axis is processed in
+    ``block_cols`` chunks accumulated into fc2's int32 accumulator, so
+    the f32 pre-activation stays (rows, block_cols) — the same reason
+    fc1_gelu_quant blocks its N axis."""
+    s2 = s2_ref[0, 0]
+    inv_s3 = inv_s3_ref[0, 0]
+    F = w1_ref.shape[-1]
+    acc2 = None
+    for j in range(0, F, block_cols):
+        sl = slice(j, j + block_cols)
+        acc = _i8dot(xq_ref[:], w1_ref[:, sl])
+        g32 = acc.astype(jnp.float32) * (w1s_ref[:, sl] * s2) + b1_ref[:, sl]
+        if act == "quick_gelu":
+            g32 = g32 * jax.nn.sigmoid(1.702 * g32)
+        elif act in ("gelu_pytorch_tanh", "gelu_new"):
+            g32 = jax.nn.gelu(g32, approximate=True)
+        elif act == "gelu":
+            g32 = jax.nn.gelu(g32, approximate=False)
+        else:
+            raise ValueError(f"Unknown activation {act!r}")
+        hq = _quant_f32(g32, inv_s3)
+        part = _i8dot(hq, w2_ref[sl, :])
+        acc2 = part if acc2 is None else acc2 + part
+    s3 = s3_ref[0, 0]
+    x32 = (acc2.astype(jnp.float32) * (w2s_ref[:] * s3) + b2_ref[:]
+           + xres_ref[:].astype(jnp.float32))
+    xout_ref[:] = x32.astype(xout_ref.dtype)
+    h = _ln_f32(x32, lnw_ref[:].astype(jnp.float32),
+                lnb_ref[:].astype(jnp.float32), eps)
+    xq_out_ref[:] = _quant_f32(h, inv_s0n_ref[0, 0])
+
+
 def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
                      num_heads: int, kv_len: int):
     """Merged QKV projection + int8 encoder attention for G images.
@@ -390,6 +428,49 @@ def fc2_res_ln_quant(hq, x_res, wq, ws, bias, ln_w, ln_b, s3, s0_next, eps,
     )(hq, x_res, wq, ws.reshape(1, D), bias.reshape(1, D),
       ln_w.reshape(1, D), ln_b.reshape(1, D),
       _scalar(s3), _scalar(1.0) / _scalar(s0_next))
+
+
+def mlp_fused(xq, x_res, w1, w1_s, b1, w2, w2_s, b2, ln_w, ln_b,
+              s2, s3, s0_next, eps, act, *, block_rows: int = 1056,
+              block_cols: int = 2048, interpret: Optional[bool] = None):
+    """Merged fc1→act→quant→fc2→residual→LN→quant (one kernel for the
+    whole MLP half; the int8 hidden stays in VMEM). Returns
+    (x'' bf16 (M, D), xq_next int8 (M, D)) — drop-in for the
+    fc1_gelu_quant + fc2_res_ln_quant pair."""
+    M, K = xq.shape
+    F = w1.shape[-1]
+    D = w2.shape[-1]
+    bm = _row_block(M, block_rows)
+    bn = block_cols if F % block_cols == 0 else F
+    kern = functools.partial(_mlp_fused_kernel, act=act, eps=eps,
+                             block_cols=bn)
+    rowD = pl.BlockSpec((bm, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vecD = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vecF = pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(M // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            rowD,
+            pl.BlockSpec((K, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vecF, vecF,
+            pl.BlockSpec((F, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vecD, vecD, vecD, vecD,
+            _smem_scalar(), _smem_scalar(), _smem_scalar(), _smem_scalar(),
+        ],
+        out_specs=(rowD, rowD),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, D), x_res.dtype),
+            jax.ShapeDtypeStruct((M, D), jnp.int8),
+        ),
+        compiler_params=_cparams(),
+        interpret=_use_interpret(interpret),
+    )(xq, x_res, w1, w1_s.reshape(1, F), b1.reshape(1, F),
+      w2, w2_s.reshape(1, D), b2.reshape(1, D),
+      ln_w.reshape(1, D), ln_b.reshape(1, D),
+      _scalar(s2), _scalar(1.0) / _scalar(s3), _scalar(s3),
+      _scalar(1.0) / _scalar(s0_next))
 
 
 # ---------------------------------------------------------------------------

@@ -138,3 +138,42 @@ def test_fused_no_cls_variant():
                                  scales)
     assert out.shape == ref.shape
     assert _cosine(out, ref) > 0.9995
+
+
+def test_mlp_fused_matches_split_pair(small_tower):
+    """mlp_fused (one kernel, hidden in VMEM) == fc1_gelu_quant +
+    fc2_res_ln_quant bit-for-bit (same math; fc2's int32 accumulation
+    over F chunks is exact)."""
+    import jax.numpy as jnp
+    from multimeditron_tpu.ops.vit_int8_fused import (
+        fc1_gelu_quant,
+        fc2_res_ln_quant,
+        mlp_fused,
+    )
+
+    cfg, params, pixels, scales = small_tower
+    rng = np.random.default_rng(3)
+    M, D, F = 16, cfg.hidden_size, cfg.intermediate_size
+    lp = params["layers"]
+    w1 = jnp.asarray(rng.integers(-127, 128, (D, F), np.int8))
+    w1_s = jnp.asarray(rng.uniform(0.001, 0.01, (F,)), jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(F,)) * 0.01, jnp.float32)
+    w2 = jnp.asarray(rng.integers(-127, 128, (F, D), np.int8))
+    w2_s = jnp.asarray(rng.uniform(0.001, 0.01, (D,)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(D,)) * 0.01, jnp.float32)
+    lnw = jnp.asarray(rng.normal(size=(D,)) * 0.1 + 1.0, jnp.float32)
+    lnb = jnp.asarray(rng.normal(size=(D,)) * 0.01, jnp.float32)
+    xq = jnp.asarray(rng.integers(-127, 128, (M, D), np.int8))
+    xres = jnp.asarray(rng.normal(size=(M, D)) * 0.1, jnp.bfloat16)
+    s2, s3, s0n = 0.04, 0.05, 0.06
+
+    hq = fc1_gelu_quant(xq, w1, w1_s, b1, s2, s3, "quick_gelu",
+                        block_rows=8)
+    xn_ref, xqn_ref = fc2_res_ln_quant(hq, xres, w2, w2_s, b2, lnw, lnb,
+                                       s3, s0n, 1e-5, block_rows=8)
+    xn, xqn = mlp_fused(xq, xres, w1, w1_s, b1, w2, w2_s, b2, lnw, lnb,
+                        s2, s3, s0n, 1e-5, "quick_gelu", block_rows=8,
+                        block_cols=F // 2)
+    np.testing.assert_array_equal(np.asarray(xqn), np.asarray(xqn_ref))
+    np.testing.assert_allclose(np.asarray(xn, np.float32),
+                               np.asarray(xn_ref, np.float32), atol=1e-2)
