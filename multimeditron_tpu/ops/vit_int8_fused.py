@@ -229,12 +229,15 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
 
     def consume(g, slot):
         vg = v8[g * Sp:(g + 1) * Sp]
-        sc = s_scr[slot] * qk_scale
+        # base-2 softmax: LOG2_E folded into the scalar scale, exp2
+        # direct — exactly softmax (2^(x*log2e) = e^x), one fewer VPU
+        # pass over the (H*Sp, Sp) scores than exp
+        sc = s_scr[slot] * (qk_scale * 1.4426950408889634)
         if kv_len < Sp:
             lane = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
             sc = jnp.where(lane < kv_len, sc, -1e30)
         m = jnp.max(sc, axis=-1, keepdims=True)
-        p = jnp.exp(sc - m)
+        p = jnp.exp2(sc - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         pq = jnp.round(p * 127.0).astype(jnp.int8)
         for h in range(num_heads):
