@@ -553,6 +553,9 @@ def qkv_attn_int8(xq3, wq, ws, bias, scales6, num_heads, kv_len,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, Sp, D), out_dtype),
         scratch_shapes=[pltpu.VMEM((2, num_heads * Sp, Sp), jnp.float32)],
+        # "arbitrary" grid semantics (the requant roof chain's setting)
+        # was tried here and did not finish compiling in 20 minutes —
+        # Mosaic's cross-step pipeliner chokes on the big unrolled body.
         compiler_params=_cparams(),
         interpret=_use_interpret(interpret),
     )(xq3, wq, ws, bias, scales6)
@@ -612,7 +615,10 @@ def vit_forward_int8_fused(
     act_scales: jax.Array,  # (L, 4) static scales; (L, 7) adds int8 attn
     drop_cls: bool = True,
     interpret: Optional[bool] = None,
-    block_rows: int = 1056,
+    # 528 measured best for the row kernels at bench shapes (oproj
+    # 1,070 vs 1,145 us/layer at 1056; mlp equal) — more blocks in
+    # flight pipelines the requant epilogues better
+    block_rows: int = 528,
 ) -> jax.Array:
     """Fused-Pallas twin of ``vit_forward_int8`` (static-scales path)."""
     B = pixel_values.shape[0]
