@@ -615,10 +615,11 @@ def vit_forward_int8_fused(
     act_scales: jax.Array,  # (L, 4) static scales; (L, 7) adds int8 attn
     drop_cls: bool = True,
     interpret: Optional[bool] = None,
-    # 528 measured best for the row kernels at bench shapes (oproj
-    # 1,070 vs 1,145 us/layer at 1056; mlp equal) — more blocks in
-    # flight pipelines the requant epilogues better
-    block_rows: int = 528,
+    # In CHAINED isolation 528-row blocks look better for oproj (1,070
+    # vs 1,145 us/layer) but the full pipeline measures 1,318-1,321
+    # img/s at 528 vs 1,340+ at 1056 (fc1's N-blocked grid re-streams
+    # w1 per row block: 2x the weight traffic at 528) — keep 1056.
+    block_rows: int = 1056,
 ) -> jax.Array:
     """Fused-Pallas twin of ``vit_forward_int8`` (static-scales path)."""
     B = pixel_values.shape[0]
