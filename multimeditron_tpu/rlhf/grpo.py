@@ -59,7 +59,10 @@ class GRPOConfig:
     ppo_epochs: int = 1
     learning_rate: float = 1e-6
     max_grad_norm: float = 1.0
-    training_mode: TrainingMode = TrainingMode.LM_ONLY
+    # END2END (llm + projectors) is the safe default: multimodal RLHF
+    # trains the projector path too; for text-only policies it equals
+    # LM_ONLY (there are no projectors to train).
+    training_mode: TrainingMode = TrainingMode.END2END
     reward_manager: str = "naive"
     seq_bucket: int = 512
     max_slots: int = 8
