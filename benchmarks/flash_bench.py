@@ -2,7 +2,8 @@
 
 Usage: python benchmarks/flash_bench.py [fwd|bwd] [block_q] [block_k] [D] [S]
 """
-import time, sys
+import os, time, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 from multimeditron_tpu.ops.flash_attention import flash_attention
