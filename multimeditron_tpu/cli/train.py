@@ -101,6 +101,8 @@ def train(ctx, config: str, seed: int = 0, resume: bool = False):
         pp=mesh_cfg.get("pp", 1),
         pp_microbatches=mesh_cfg.get("pp_microbatches"),
         remat=ta.get("gradient_checkpointing", True),
+        quantize_frozen_towers=ta.get("quantize_frozen_towers", False),
+        adam_moment_dtype=ta.get("adam_moment_dtype"),
         log_every=ta.get("logging_steps", 1),
         save_every=_resolve_save_steps(ta, total_steps),
         output_dir=ta.get("output_dir", "checkpoints"),
