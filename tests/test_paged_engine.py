@@ -105,3 +105,27 @@ def test_chunked_prefill_through_pages(setup):
     out_slab = _engine(model, params, "slab", **kw).generate([batch], max_new_tokens=6)
     out_paged = _engine(model, params, "paged", **kw).generate([batch], max_new_tokens=6)
     assert out_slab == out_paged
+
+
+def test_chunked_prefill_multimodal_through_pages(setup):
+    """Paged chunked prefill (persistent slab, folded into the page pool
+    once) splices an image whose span lands in a LATER chunk, and two
+    back-to-back long prompts don't contaminate each other through the
+    reused slab."""
+    model, params, collator = setup
+    filler = " ".join(f"w{i}" for i in range(80))
+    mm_long = {"conversations": [
+        {"role": "user", "content": f"{filler} look {ATTACH} now"}],
+        "modalities": [{"type": "image", "value": _img((200, 30, 10))}]}
+    text_long = {"conversations": [
+        {"role": "user", "content": "repeat " * 70}], "modalities": []}
+    b1, b2 = collator([mm_long]), collator([text_long])
+    assert int(np.asarray(b1["attention_mask"]).sum()) > 64
+    kw = dict(max_seq_len=256, prefill_buckets=(32, 64))
+    slab_eng = _engine(model, params, "slab", **kw)
+    paged_eng = _engine(model, params, "paged", **kw)
+    # same engine serves both long prompts in sequence (slab reuse)
+    want = [slab_eng.generate([b], max_new_tokens=6) for b in (b1, b2, b1)]
+    got = [paged_eng.generate([b], max_new_tokens=6) for b in (b1, b2, b1)]
+    assert got == want
+    assert got[0] == got[2]  # slab reuse is stateless across prompts
