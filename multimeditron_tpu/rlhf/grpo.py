@@ -226,9 +226,13 @@ class GRPOTrainer:
             for _ in range(cfg.group_size):
                 batches.append(collated)
                 meta.append(prompt)
+        # One prefill per PROMPT, not per rollout: the engine forks the
+        # G-1 sibling slots off the primary's prompt KV pages (refcounted
+        # prefix sharing — the sglang RadixAttention capability the
+        # reference's rollout engine provides, verl_trainer.yaml:62).
         outputs = self.engine.generate(
             batches, max_new_tokens=cfg.max_new_tokens,
-            temperature=cfg.temperature,
+            temperature=cfg.temperature, group_size=cfg.group_size,
         )
 
         eos = self.model.config.eos_token_idx

@@ -91,6 +91,11 @@ class Request:
     # Honest finish signaling (round-1 weak #6: requests were silently
     # force-finished on chunk headroom): "eos" | "budget" | "capacity".
     finish_reason: Optional[str] = None
+    # Group forks (paged mode): sibling requests sharing this request's
+    # prompt KV pages — prefilled ONCE, forked by refcount (sglang
+    # RadixAttention-style prefix sharing; backs GRPO's G-per-prompt
+    # rollouts). Populated by ``submit_group`` on the primary only.
+    forks: List["Request"] = dataclasses.field(default_factory=list)
 
     @property
     def ttft(self) -> Optional[float]:
@@ -133,9 +138,14 @@ class ServingEngine:
                 ring_size=self.decode_chunk,
             )
             self.num_pages = n_pages
-            # host-side allocator state; page 0 = trash (never allocated)
+            # host-side allocator state; page 0 = trash (never allocated).
+            # Pages are REFCOUNTED: prompt pages may be shared by several
+            # slots (group forks — sglang RadixAttention-style prefix
+            # sharing) and are returned to the free list only when the
+            # last holder releases them.
             self.page_table = np.zeros((cfg.max_slots, self.pages_max), np.int32)
             self.free_pages: List[int] = list(range(n_pages - 1, 0, -1))
+            self.page_ref = np.zeros((n_pages,), np.int32)
             self.slot_num_pages = np.zeros((cfg.max_slots,), np.int32)
             # tokens per slot covered by PAGES (vs the in-chunk ring)
             self.pages_length = np.zeros((cfg.max_slots,), np.int32)
@@ -190,6 +200,7 @@ class ServingEngine:
 
         self._prefill_fns: Dict[int, Callable] = {}
         self._chunk_prefill_fns: Dict[tuple, Callable] = {}
+        self._fork_fns: Dict[tuple, Callable] = {}
         # Power-of-two decode chunk variants: the final steps of a request
         # near its cache capacity run a SHORTER compiled chunk instead of
         # being force-finished with budgeted tokens unwritten.
@@ -207,17 +218,47 @@ class ServingEngine:
         total = min(plen + req.max_new_tokens, self.cfg.max_seq_len)
         return -(-total // self.page_size)
 
+    def _alloc_pages(self, n: int) -> List[int]:
+        ids = [self.free_pages.pop() for _ in range(n)]
+        for p in ids:
+            self.page_ref[p] = 1
+        return ids
+
     def _reserve_pages(self, req: Request, slot: int) -> None:
         need = self._required_pages(req)
-        ids = [self.free_pages.pop() for _ in range(need)]
+        ids = self._alloc_pages(need)
         self.page_table[slot, :] = 0
         self.page_table[slot, :need] = ids
         self.slot_num_pages[slot] = need
 
+    def _reserve_fork_pages(self, req: Request, slot: int, parent_slot: int,
+                            plen: int) -> int:
+        """Fork ``slot`` off ``parent_slot``'s prompt KV: SHARE the parent's
+        full prompt pages (refcount++), allocate own pages for the rest of
+        [plen, plen+budget). Returns the parent's partial-page id to copy
+        (0 = prompt is page-aligned, nothing to copy)."""
+        P = self.page_size
+        total = min(plen + req.max_new_tokens, self.cfg.max_seq_len)
+        need = -(-total // P)
+        n_full = min(plen // P, need)
+        shared = [int(p) for p in self.page_table[parent_slot, :n_full]]
+        for p in shared:
+            self.page_ref[p] += 1
+        own = self._alloc_pages(need - n_full)
+        self.page_table[slot, :] = 0
+        self.page_table[slot, :need] = shared + own
+        self.slot_num_pages[slot] = need
+        if plen % P != 0 and need > n_full:
+            return int(self.page_table[parent_slot, n_full])
+        return 0
+
     def _release_pages(self, slot: int) -> None:
         used = int(self.slot_num_pages[slot])
-        if used:
-            self.free_pages.extend(int(p) for p in self.page_table[slot, :used])
+        for p in self.page_table[slot, :used]:
+            p = int(p)
+            self.page_ref[p] -= 1
+            if self.page_ref[p] == 0:
+                self.free_pages.append(p)
         self.page_table[slot, :] = 0
         self.slot_num_pages[slot] = 0
 
@@ -362,7 +403,9 @@ class ServingEngine:
                     state["pages_length"].at[slot_ids].set(lengths))
                 state["page_table"] = (
                     state["page_table"].at[slot_ids].set(page_rows))
-            return state, lengths, first_tokens
+            # last_logits stay on device: group forks sample their first
+            # tokens from them without re-running the prompt
+            return state, lengths, first_tokens, last_logits
 
         return jax.jit(prefill, donate_argnums=(1,))
 
@@ -513,6 +556,60 @@ class ServingEngine:
         self.queue.append(req)
         return req
 
+    def submit_group(
+        self,
+        batch: Dict[str, Any],
+        n: int,
+        max_new_tokens: Optional[int] = None,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+    ) -> List[Request]:
+        """Queue ``n`` requests over ONE prompt, sharing its KV.
+
+        Paged mode prefills the prompt once and forks n-1 siblings that
+        share the prompt's full KV pages by refcount (each fork owns only
+        its decode pages + a copy of the partial tail page) — sglang
+        RadixAttention-style prefix sharing. The GRPO trainer uses this
+        for its G-completions-per-prompt rollouts. Slab mode falls back
+        to n independent submissions."""
+        if n < 1:
+            raise ValueError("submit_group needs n >= 1")
+        if not self.paged or n == 1:
+            return [
+                self.submit(batch, max_new_tokens=max_new_tokens,
+                            temperature=temperature, top_p=top_p)
+                for _ in range(n)
+            ]
+        if n > self.cfg.max_slots:
+            raise ValueError(
+                f"group of {n} exceeds max_slots={self.cfg.max_slots}; "
+                "a forked group is admitted atomically"
+            )
+        primary = self.submit(batch, max_new_tokens=max_new_tokens,
+                              temperature=temperature, top_p=top_p)
+        plen = int(np.asarray(batch["attention_mask"]).sum())
+        p_need = self._required_pages(primary)
+        own = max(p_need - min(plen // self.page_size, p_need), 0)
+        if p_need + (n - 1) * own > self.num_pages - 1:
+            self.queue.remove(primary)
+            raise ValueError(
+                f"group needs {p_need + (n - 1) * own} KV pages but the "
+                f"pool only has {self.num_pages - 1}; raise num_pages or "
+                "lower max_new_tokens/group size"
+            )
+        for _ in range(n - 1):
+            fork = Request(
+                request_id=self._next_id,
+                batch=batch,
+                max_new_tokens=primary.max_new_tokens,
+                temperature=primary.temperature,
+                top_p=primary.top_p,
+                submit_time=primary.submit_time,
+            )
+            self._next_id += 1
+            primary.forks.append(fork)
+        return [primary] + primary.forks
+
     def _bucket_for(self, seq_len: int) -> Optional[int]:
         """Smallest bucket holding ``seq_len``; None -> chunked prefill."""
         for b in self.cfg.prefill_buckets:
@@ -558,6 +655,12 @@ class ServingEngine:
             # Prompts longer than the largest bucket prefill in bucket-sized
             # chunks into their slot (no grouping; rare long prompts).
             head = self.queue[0]
+            if head.forks:
+                # forked group: one prefill + KV-page sharing; admitted
+                # atomically or waits at the head (FIFO)
+                if not self._try_admit_group(head, free):
+                    break
+                continue
             if self.paged and self._required_pages(head) > len(self.free_pages):
                 # pool exhausted: requests WAIT for pages (sglang-style
                 # admission control) instead of evicting or OOMing. FIFO:
@@ -569,7 +672,8 @@ class ServingEngine:
                 continue
             take = [
                 r for r in self.queue[: len(free)]
-                if self._bucket_for(r.batch["input_ids"].shape[1]) is not None
+                if not r.forks
+                and self._bucket_for(r.batch["input_ids"].shape[1]) is not None
             ]
             if not take:
                 continue
@@ -600,7 +704,8 @@ class ServingEngine:
             free = free[len(group):]
             self._prefill_group(group, slots, sig)
 
-    def _prefill_group(self, group: List[Request], slots: List[int], sig) -> None:
+    def _prefill_group(self, group: List[Request], slots: List[int], sig,
+                       reserve: bool = True) -> None:
         bucket, _ = sig
         n = len(group)
         input_ids = np.concatenate(
@@ -640,14 +745,15 @@ class ServingEngine:
         top_ps = np.asarray([r.top_p for r in group], np.float32)
         budgets = np.asarray([r.max_new_tokens for r in group], np.int32)
         if self.paged:
-            for req, slot in zip(group, slots):
-                self._reserve_pages(req, slot)
+            if reserve:
+                for req, slot in zip(group, slots):
+                    self._reserve_pages(req, slot)
             dest = self._bucket_page_ids(slots, bucket)
             page_rows = self.page_table[np.asarray(slots)].astype(np.int32)
         else:
             dest = np.asarray(slots, np.int32)
             page_rows = np.zeros((n, 1), np.int32)  # unused placeholder
-        self.state, lengths, first_tokens = self._prefill_fns[key](
+        self.state, lengths, first_tokens, last_logits = self._prefill_fns[key](
             self.params,
             self.state,
             jnp.asarray(input_ids), jnp.asarray(mask), mm,
@@ -657,6 +763,8 @@ class ServingEngine:
             jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(budgets),
             self._next_seed(),
         )
+        # device-resident: consumed by _admit_forks for grouped requests
+        self._last_prefill_logits = last_logits
         lengths = np.asarray(lengths)
         first_tokens = np.asarray(first_tokens)
 
@@ -710,7 +818,7 @@ class ServingEngine:
             last = jnp.take_along_axis(
                 logits, (chunk_len - 1)[:, None, None], axis=1)[:, 0]
             slab = {"k": slot_cache["k"], "v": slot_cache["v"]}
-            return slab, sampler(last, temps, top_ps, seed)
+            return slab, sampler(last, temps, top_ps, seed), last
 
         return jax.jit(chunk_prefill, donate_argnums=(1,))
 
@@ -783,7 +891,8 @@ class ServingEngine:
             chunk_len = attention_mask.sum(axis=-1).astype(jnp.int32)
             last = jnp.take_along_axis(
                 logits, (chunk_len - 1)[:, None, None], axis=1)[:, 0]
-            return {**state, "k": k, "v": v}, sampler(last, temps, top_ps, seed)
+            return ({**state, "k": k, "v": v},
+                    sampler(last, temps, top_ps, seed), last)
 
         return jax.jit(chunk_prefill, donate_argnums=(1,))
 
@@ -817,6 +926,121 @@ class ServingEngine:
             self._admit_slot_fn = jax.jit(admit, donate_argnums=(0,))
         return self._admit_slot_fn
 
+    def _build_fork_fn(self, n_forks: int, copy_partial: bool) -> Callable:
+        """Admit ``n_forks`` slots sharing a just-prefilled prompt's KV.
+
+        The forks' first tokens are sampled from the primary's saved
+        last-position logits (the prompt is never re-run); the only KV
+        traffic is an in-place copy of the parent's PARTIAL last page
+        into each fork's own first page (full prompt pages are shared
+        host-side by refcount). sglang RadixAttention-style prefix
+        sharing (SURVEY §2.3 serving parity) — turns GRPO's G rollouts
+        per prompt into ~1 prefill per prompt."""
+        eos = self.eos_id
+        sampler = self._make_sampler()
+
+        def fork(state, last_logits, slot_ids, page_rows, src_page,
+                 dst_pages, plen, temps, top_ps, budgets, seed):
+            k, v = state["k"], state["v"]
+            if copy_partial:
+                src_k = jax.lax.dynamic_slice_in_dim(k, src_page, 1, axis=2)
+                src_v = jax.lax.dynamic_slice_in_dim(v, src_page, 1, axis=2)
+                for f in range(n_forks):  # static unroll; in-place DUS
+                    k = jax.lax.dynamic_update_slice(
+                        k, src_k, (0, 0, dst_pages[f], 0, 0))
+                    v = jax.lax.dynamic_update_slice(
+                        v, src_v, (0, 0, dst_pages[f], 0, 0))
+            logits = jnp.broadcast_to(
+                last_logits[0], (n_forks, last_logits.shape[-1]))
+            first = sampler(logits, temps, top_ps, seed)
+            active_new = jnp.logical_and(first != eos, budgets > 1)
+            lengths = jnp.full((n_forks,), plen, jnp.int32)
+            state = {
+                **state, "k": k, "v": v,
+                "length": state["length"].at[slot_ids].set(lengths),
+                "tokens": state["tokens"].at[slot_ids].set(first),
+                "active": state["active"].at[slot_ids].set(active_new),
+                "remaining": state["remaining"].at[slot_ids].set(budgets - 1),
+                "temps": state["temps"].at[slot_ids].set(temps),
+                "top_ps": state["top_ps"].at[slot_ids].set(top_ps),
+                "pages_length": state["pages_length"].at[slot_ids].set(lengths),
+                "page_table": state["page_table"].at[slot_ids].set(page_rows),
+            }
+            return state, first
+
+        return jax.jit(fork, donate_argnums=(0,))
+
+    def _try_admit_group(self, primary: Request, free: List[int]) -> bool:
+        """Admit a forked group (primary + siblings) atomically: one
+        prefill, then fork. Returns False when slots or pages are short
+        (the group waits at the queue head, FIFO)."""
+        forks = primary.forks
+        need_slots = 1 + len(forks)
+        if len(free) < need_slots:
+            return False
+        plen = int(np.asarray(primary.batch["attention_mask"]).sum())
+        P = self.page_size
+        p_need = self._required_pages(primary)
+        n_full = min(plen // P, p_need)
+        own = max(p_need - n_full, 0)
+        if p_need + len(forks) * own > len(self.free_pages):
+            return False
+        self.queue.remove(primary)
+        slots = [free.pop(0) for _ in range(need_slots)]
+        slot0, fork_slots = slots[0], slots[1:]
+        # Reserve ALL pages up front: the forks' refcounts on the shared
+        # prompt pages must exist before the primary's bookkeeping might
+        # finish-and-release it (e.g. EOS on the first sampled token).
+        self._reserve_pages(primary, slot0)
+        src_page = 0
+        for f, s in zip(forks, fork_slots):
+            src_page = self._reserve_fork_pages(f, s, slot0, plen) or src_page
+        if self._bucket_for(primary.batch["input_ids"].shape[1]) is None:
+            self._prefill_chunked(primary, slot0, reserve=False)
+        else:
+            sig = self._request_signature(primary)
+            self._prefill_group([primary], [slot0], sig, reserve=False)
+
+        F = len(forks)
+        copy_partial = src_page != 0
+        key = (F, copy_partial)
+        if key not in self._fork_fns:
+            self._fork_fns[key] = self._build_fork_fn(F, copy_partial)
+        fork_slots_np = np.asarray(fork_slots, np.int32)
+        page_rows = self.page_table[fork_slots_np].astype(np.int32)
+        dst_pages = np.asarray(
+            [self.page_table[s, n_full] for s in fork_slots], np.int32)
+        temps = np.asarray([r.temperature for r in forks], np.float32)
+        top_ps = np.asarray([r.top_p for r in forks], np.float32)
+        budgets = np.asarray([r.max_new_tokens for r in forks], np.int32)
+        self.state, first_tokens = self._fork_fns[key](
+            self.state, self._last_prefill_logits,
+            jnp.asarray(fork_slots_np), jnp.asarray(page_rows),
+            jnp.int32(src_page), jnp.asarray(dst_pages), jnp.int32(plen),
+            jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(budgets),
+            self._next_seed(),
+        )
+        first_tokens = np.asarray(first_tokens)
+        now = time.time()
+        for j, (req, slot) in enumerate(zip(forks, fork_slots)):
+            first = int(first_tokens[j])
+            req.first_token_time = now
+            req.tokens.append(first)
+            self.slot_request[slot] = req
+            self.lengths[slot] = plen
+            self.pages_length[slot] = plen
+            self.slot_budget[slot] = req.max_new_tokens
+            self.slot_generated[slot] = 1
+            self.slot_temperature[slot] = req.temperature
+            self.last_tokens[slot] = first
+            if first == self.eos_id:
+                self._finish(slot, reason="eos")
+            elif req.max_new_tokens <= 1:
+                self._finish(slot, reason="budget")
+            else:
+                self.active[slot] = True
+        return True
+
     @staticmethod
     def _chunk_mm(mm, start: int, length: int, bucket: int):
         """Shift a request's mm pack into chunk-local coordinates; spans
@@ -839,7 +1063,8 @@ class ServingEngine:
             }
         return out
 
-    def _prefill_chunked(self, req: Request, slot: int) -> None:
+    def _prefill_chunked(self, req: Request, slot: int,
+                         reserve: bool = True) -> None:
         ids = np.asarray(req.batch["input_ids"])[0]
         mask = np.asarray(req.batch["attention_mask"])[0]
         plen = int(mask.sum())
@@ -849,7 +1074,8 @@ class ServingEngine:
         mm_sig = self._request_signature(req)[1]
 
         if self.paged:
-            self._reserve_pages(req, slot)
+            if reserve:
+                self._reserve_pages(req, slot)
             dest = jnp.asarray(self.page_table[slot].astype(np.int32))
             slab = self._get_chunk_slab()
         start = 0
@@ -868,7 +1094,7 @@ class ServingEngine:
                 if key not in self._chunk_prefill_fns:
                     self._chunk_prefill_fns[key] = (
                         self._build_chunk_prefill_slab_fn(bucket))
-                slab, first_token = self._chunk_prefill_fns[key](
+                slab, first_token, last_logits = self._chunk_prefill_fns[key](
                     self.params, slab,
                     jnp.asarray(chunk_ids), jnp.asarray(chunk_mask),
                     self._chunk_mm(mm, start, c, bucket),
@@ -880,7 +1106,7 @@ class ServingEngine:
                 if key not in self._chunk_prefill_fns:
                     self._chunk_prefill_fns[key] = (
                         self._build_chunk_prefill_fn(bucket))
-                self.state, first_token = self._chunk_prefill_fns[key](
+                self.state, first_token, last_logits = self._chunk_prefill_fns[key](
                     self.params,
                     self.state,
                     jnp.asarray(chunk_ids), jnp.asarray(chunk_mask),
@@ -890,6 +1116,7 @@ class ServingEngine:
                     self._next_seed(),
                 )
             start += c
+        self._last_prefill_logits = last_logits
         if self.paged:
             # fold the prompt's KV into the page pool ONCE
             self._chunk_slab = slab
@@ -1009,11 +1236,28 @@ class ServingEngine:
         batches: List[Dict[str, Any]],
         max_new_tokens: Optional[int] = None,
         temperature: Optional[float] = None,
+        group_size: Optional[int] = None,
     ) -> List[List[int]]:
-        """Synchronous batch generation through the continuous-batching path."""
-        reqs = [
-            self.submit(b, max_new_tokens=max_new_tokens, temperature=temperature)
-            for b in batches
-        ]
+        """Synchronous batch generation through the continuous-batching path.
+
+        With ``group_size=G``, consecutive runs of G batches are assumed
+        to repeat ONE prompt (GRPO rollout layout) and go through
+        ``submit_group`` — the prompt prefills once, siblings fork its KV
+        pages."""
+        if group_size and group_size > 1:
+            if len(batches) % group_size != 0:
+                raise ValueError("len(batches) must be a multiple of group_size")
+            reqs: List[Request] = []
+            for i in range(0, len(batches), group_size):
+                reqs.extend(self.submit_group(
+                    batches[i], group_size,
+                    max_new_tokens=max_new_tokens, temperature=temperature,
+                ))
+        else:
+            reqs = [
+                self.submit(b, max_new_tokens=max_new_tokens,
+                            temperature=temperature)
+                for b in batches
+            ]
         self.run()
         return [r.tokens for r in reqs]

@@ -129,3 +129,85 @@ def test_chunked_prefill_multimodal_through_pages(setup):
     got = [paged_eng.generate([b], max_new_tokens=6) for b in (b1, b2, b1)]
     assert got == want
     assert got[0] == got[2]  # slab reuse is stateless across prompts
+
+
+# ---------------------------------------------------------------------------
+# Group forks: one prefill per prompt, siblings share prompt KV pages by
+# refcount (sglang RadixAttention-style prefix sharing; GRPO rollout path).
+# ---------------------------------------------------------------------------
+def test_group_fork_matches_independent_greedy(setup):
+    model, params, collator = setup
+    for prompt in PROMPTS[:2]:  # text-only and multimodal
+        b = collator([prompt])
+        kw = dict(max_slots=4)
+        ind = _engine(model, params, "paged", **kw).generate(
+            [b, b, b], max_new_tokens=8)
+        grp = _engine(model, params, "paged", **kw).generate(
+            [b, b, b], max_new_tokens=8, group_size=3)
+        assert ind == grp
+        assert ind[0] == ind[1] == ind[2]
+
+
+def test_group_fork_shares_prompt_pages(setup):
+    model, params, collator = setup
+    b = collator([PROMPTS[2]])  # longest prompt: several full pages
+    eng = _engine(model, params, "paged", max_slots=4)
+    eng.submit_group(b, 3, max_new_tokens=8)
+    eng._admit()
+    plen = int(np.asarray(b["attention_mask"]).sum())
+    n_full = plen // eng.page_size
+    assert n_full >= 1
+    rows = eng.page_table[:3]
+    # full prompt pages are the SAME page ids in every slot of the group
+    for j in range(n_full):
+        assert rows[1, j] == rows[0, j] and rows[2, j] == rows[0, j]
+        assert eng.page_ref[rows[0, j]] == 3
+    # decode/tail pages are private
+    used = int(eng.slot_num_pages[0])
+    for j in range(n_full, used):
+        assert len({int(rows[i, j]) for i in range(3)}) == 3
+    eng.run()
+    assert eng.page_ref.sum() == 0
+    assert len(eng.free_pages) == eng.num_pages - 1
+
+
+def test_group_fork_long_prompt_chunked(setup):
+    """Forked group whose prompt takes the chunked-prefill path."""
+    model, params, collator = setup
+    long_prompt = {"conversations": [
+        {"role": "user", "content": "repeat " * 90}], "modalities": []}
+    b = collator([long_prompt])
+    kw = dict(max_seq_len=256, prefill_buckets=(32, 64), max_slots=4)
+    ind = _engine(model, params, "paged", **kw).generate(
+        [b, b], max_new_tokens=6)
+    grp = _engine(model, params, "paged", **kw).generate(
+        [b, b], max_new_tokens=6, group_size=2)
+    assert ind == grp
+
+
+def test_group_fork_waits_for_slots(setup):
+    """A group wider than the currently-free slots waits (FIFO) and is
+    admitted once slots free up; max_slots bounds the group size."""
+    model, params, collator = setup
+    b = collator([PROMPTS[0]])
+    eng = _engine(model, params, "paged", max_slots=2)
+    with pytest.raises(ValueError, match="max_slots"):
+        eng.submit_group(b, 3)
+    # occupy one slot, then queue a 2-wide group: it must wait, then run
+    first = eng.submit(b, max_new_tokens=16)
+    eng._admit()
+    group = eng.submit_group(b, 2, max_new_tokens=4)
+    eng.run()
+    assert first.done and all(r.done for r in group)
+    assert all(len(r.tokens) == 4 for r in group)
+
+
+def test_submit_group_slab_fallback(setup):
+    model, params, collator = setup
+    b = collator([PROMPTS[0]])
+    eng = _engine(model, params, "slab", max_slots=4)
+    reqs = eng.submit_group(b, 3, max_new_tokens=8)
+    assert len(reqs) == 3 and not reqs[0].forks
+    eng.run()
+    toks = [r.tokens for r in reqs]
+    assert toks[0] == toks[1] == toks[2]
