@@ -40,6 +40,15 @@ _RULES: List[Tuple[str, P]] = [
     (r"layers/(input|post_attn)_norm$", P(None, None)),      # (L, D)
     (r"layers/(q|k)_norm$",       P(None, None)),
     (r"final_norm$",              P(None)),
+    # ---- weight-only int8 serving trees (models/llama_quant.py) ----
+    # values shard like their bf16 source; per-output-channel scales
+    # (L, N) / (V,) shard with the output dim.
+    (r"layers/(q|k|v|gate|up)_proj_q$", P(None, "fsdp", "tp")),
+    (r"layers/(q|k|v|gate|up)_proj_s$", P(None, "tp")),
+    (r"layers/(o|down)_proj_q$",  P(None, "tp", "fsdp")),
+    (r"layers/(o|down)_proj_s$",  P(None, "fsdp")),
+    (r"lm_head_q$",               P("fsdp", "tp")),
+    (r"lm_head_s$",               P("tp")),
     # ---- ViT towers ----
     (r"patch_proj$",              P(None, "fsdp")),          # (P*P*3, D)
     (r"patch_bias$",              P(None)),

@@ -74,6 +74,17 @@ class EngineConfig:
     # Pool pages (incl. the reserved trash page 0). Default sizes the pool
     # to the slab capacity; set lower to cap KV memory.
     num_pages: Optional[int] = None
+    # Tensor-parallel serving (sglang serves with --tp N; SURVEY §2.3).
+    # tp > 1 builds a GSPMD mesh over the first ``tp`` devices: params
+    # shard per parallel/sharding.py (heads/FFN over "tp", vocab-sharded
+    # lm_head), the KV pool/ring/slab shard their kv-head axis, the
+    # scheduling state replicates, and XLA inserts the collectives in
+    # every compiled prefill/decode/fork call. Decode is weight-read
+    # bound, so tp divides the per-chip weight bytes (the step-time
+    # floor). The single-device Pallas paged kernel is bypassed: tp > 1
+    # defaults ``attn_impl`` to the XLA path, which GSPMD partitions
+    # over the sharded head axis.
+    tp: int = 1
 
 
 @dataclasses.dataclass
@@ -107,8 +118,26 @@ class Request:
 class ServingEngine:
     def __init__(self, model: MultimodalModel, params: Dict[str, Any], cfg: EngineConfig):
         self.model = model
-        self.cfg = cfg
         llm = model.config.llm
+        self.mesh = None
+        if cfg.tp > 1:
+            if cfg.attn_impl is None:
+                cfg = dataclasses.replace(cfg, attn_impl="xla")
+            if llm.num_heads % cfg.tp or llm.num_kv_heads % cfg.tp:
+                raise ValueError(
+                    f"tp={cfg.tp} must divide num_heads={llm.num_heads} "
+                    f"and num_kv_heads={llm.num_kv_heads}"
+                )
+            devices = jax.devices()
+            if len(devices) < cfg.tp:
+                raise ValueError(
+                    f"tp={cfg.tp} needs {cfg.tp} devices, have {len(devices)}"
+                )
+            from multimeditron_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(dp=1, fsdp=1, tp=cfg.tp,
+                                  devices=devices[: cfg.tp])
+        self.cfg = cfg
         self.eos_id = model.config.eos_token_idx
         if cfg.quantize_llm:
             from multimeditron_tpu.models.llama_quant import (
@@ -117,6 +146,10 @@ class ServingEngine:
 
             params = {**params,
                       "llm": quantize_llama_params(params["llm"], llm)}
+        if self.mesh is not None:
+            from multimeditron_tpu.parallel.sharding import shard_params
+
+            params = shard_params(params, self.mesh)
         self.params = params
 
         if cfg.kv_mode not in ("paged", "slab"):
@@ -189,6 +222,8 @@ class ServingEngine:
             self.state["page_table"] = jnp.zeros(
                 (cfg.max_slots, self.pages_max), jnp.int32)
             self.state["pages_length"] = jnp.zeros((cfg.max_slots,), jnp.int32)
+        if self.mesh is not None:
+            self.state = self._shard_state(self.state)
 
         self.queue: List[Request] = []
         self._next_id = 0
@@ -206,6 +241,30 @@ class ServingEngine:
         # being force-finished with budgeted tokens unwritten.
         self._decode_fns: Dict[int, Callable] = {}
         self._decode_fn = self._get_decode_fn(self.decode_chunk)
+
+    def _shard_state(
+        self, state: Dict[str, jax.Array],
+        kv_axis: Optional[Dict[str, int]] = None,
+    ) -> Dict[str, jax.Array]:
+        """Commit the device-resident state to the tp mesh: KV arrays
+        shard their kv-head axis over "tp" (paged pool (L,Hkv,pages,P,Dh)
+        axis 1; ring/slab (L,B,Hkv,...) axis 2), scheduling scalars and
+        tables replicate. Donation then keeps these shardings stable
+        across every prefill/decode/fork call."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if kv_axis is None:
+            kv_axis = {"k": 1 if self.paged else 2,
+                       "v": 1 if self.paged else 2,
+                       "ring_k": 2, "ring_v": 2}
+        out = {}
+        for name, arr in state.items():
+            spec = [None] * getattr(arr, "ndim", 0)
+            ax = kv_axis.get(name)
+            if ax is not None and arr.shape[ax] % self.cfg.tp == 0:
+                spec[ax] = "tp"
+            out[name] = jax.device_put(arr, NamedSharding(self.mesh, P(*spec)))
+        return out
 
     # ------------------------------------------------------------------
     # Page allocator (paged kv_mode)
@@ -854,6 +913,10 @@ class ServingEngine:
                 "v": jnp.zeros((llm.num_layers, 1, llm.num_kv_heads, cap, Dh),
                                dtype),
             }
+            if self.mesh is not None:
+                # slab layout (L, 1, Hkv, cap, Dh): kv-head axis is 2
+                self._chunk_slab = self._shard_state(
+                    self._chunk_slab, kv_axis={"k": 2, "v": 2})
         return self._chunk_slab
 
     def _build_chunk_prefill_fn(self, bucket: int) -> Callable:
