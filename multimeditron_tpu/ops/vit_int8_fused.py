@@ -194,7 +194,7 @@ def _mlp_fused_kernel(xq_ref, xres_ref, w1_ref, w1s_ref, b1_ref,
 
 
 def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
-                     num_heads: int, kv_len: int):
+                     num_heads: int, kv_len: int, static_smax: bool = False):
     """Merged QKV projection + int8 encoder attention for G images.
 
     One kernel per layer-half keeps q/k/v entirely in VMEM (never written
@@ -203,7 +203,19 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
     image g's softmax + PV (VPU-heavy consume), so the two phases have no
     scratch hazard and Mosaic overlaps them (a single scratch serializes
     on the write-after-read: dots(g+1) must wait for softmax(g)).
-    sc_ref rows: [s0, 1/sq, 1/sk, 1/sv, sq*sk*sm_scale, sv/127]."""
+
+    v and the softmax probabilities stay bf16: this half is VPU-bound
+    (softmax volume over (H*Sp, Sp) scores), so the int8 round+convert
+    of p and the requant of v cost more VPU passes than the tiny PV dot
+    saves by running at int8 MXU rate. bf16 p/v is also strictly more
+    accurate than the int8 path it replaces.
+
+    With ``static_smax`` the row-max reduction over the score tensor is
+    replaced by a CALIBRATED per-layer logit max (sc_ref row 3, base-2
+    domain): softmax is shift-invariant, so any upper bound works as the
+    stabilizer; exp2/f32 keeps full precision as long as a row's true max
+    stays within ~120 of the bound (bf16/f32 share the 8-bit exponent).
+    sc_ref rows: [s0, 1/sq, 1/sk, smax*log2(e), sq*sk*sm_scale, unused]."""
     G, Sp, D = xq_ref.shape
     dh = D // num_heads
     x2 = xq_ref[:].reshape(G * Sp, D)
@@ -212,10 +224,10 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
     for j in range(3):
         acc = _i8dot(x2, w_ref[j])
         val = acc.astype(jnp.float32) * (ws_ref[j] * s0) + b_ref[j]
-        qkv.append(_quant_f32(val, sc_ref[1 + j, 0]))
-    q8, k8, v8 = qkv
+        qkv.append(_quant_f32(val, sc_ref[1 + j, 0]) if j < 2
+                   else val.astype(jnp.bfloat16))
+    q8, k8, v16 = qkv
     qk_scale = sc_ref[4, 0]
-    pv_scale = sc_ref[5, 0]
 
     def dots(g, slot):
         rows = slice(g * Sp, (g + 1) * Sp)
@@ -228,7 +240,7 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
             ).astype(jnp.float32)
 
     def consume(g, slot):
-        vg = v8[g * Sp:(g + 1) * Sp]
+        vg = v16[g * Sp:(g + 1) * Sp]
         # base-2 softmax: LOG2_E folded into the scalar scale, exp2
         # direct — exactly softmax (2^(x*log2e) = e^x), one fewer VPU
         # pass over the (H*Sp, Sp) scores than exp
@@ -236,19 +248,21 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
         if kv_len < Sp:
             lane = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
             sc = jnp.where(lane < kv_len, sc, -1e30)
-        m = jnp.max(sc, axis=-1, keepdims=True)
+        if static_smax:
+            m = sc_ref[3, 0]
+        else:
+            m = jnp.max(sc, axis=-1, keepdims=True)
         p = jnp.exp2(sc - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        pq = jnp.round(p * 127.0).astype(jnp.int8)
+        pb = p.astype(jnp.bfloat16)
         for h in range(num_heads):
             sl = slice(h * dh, (h + 1) * dh)
             acc = jax.lax.dot_general(
-                pq[h * Sp:(h + 1) * Sp, :], vg[:, sl],
+                pb[h * Sp:(h + 1) * Sp, :], vg[:, sl],
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
+                preferred_element_type=jnp.float32,
             )
-            o_ref[g, :, sl] = (acc.astype(jnp.float32) * pv_scale
-                               / l[h * Sp:(h + 1) * Sp]).astype(o_ref.dtype)
+            o_ref[g, :, sl] = (acc / l[h * Sp:(h + 1) * Sp]).astype(o_ref.dtype)
 
     dots(0, 0)
     for g in range(G):
@@ -529,6 +543,7 @@ def pack_vit_int8_fused(params: Params) -> Params:
 
 def qkv_attn_int8(xq3, wq, ws, bias, scales6, num_heads, kv_len,
                   *, out_dtype=jnp.bfloat16, block_imgs: int = 8,
+                  static_smax: bool = False,
                   interpret: Optional[bool] = None):
     """xq3 (B, Sp, D) int8 -> attention output (B, Sp, D) bf16, with the
     QKV projection and int8 attention fused into one kernel."""
@@ -537,7 +552,7 @@ def qkv_attn_int8(xq3, wq, ws, bias, scales6, num_heads, kv_len,
     while G > 1 and B % G:
         G //= 2
     kern = functools.partial(_qkv_attn_kernel, num_heads=num_heads,
-                             kv_len=kv_len)
+                             kv_len=kv_len, static_smax=static_smax)
     spec = pl.BlockSpec((G, Sp, D), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -571,7 +586,10 @@ def calibrate_vit_int8_fused(
     scales at SEVEN quantized points: [ln1 out, attn out, ln2 out, act out,
     q, k, v]. Superset of ``vit_quant.calibrate_act_scales`` (first four
     columns identical semantics); the extra q/k/v columns feed the int8
-    attention kernel. Returns (L, 7)."""
+    attention kernel. Column 7 is the per-layer MAX attention logit
+    (q.k * sm_scale, natural-log domain, margin applied additively): the
+    fused kernel uses it as a static softmax stabilizer, replacing the
+    row-max reduction over the (H*Sp, Sp) score tensor. Returns (L, 8)."""
     B = pixel_values.shape[0]
     D, Hn = cfg.hidden_size, cfg.num_heads
     Dh = D // Hn
@@ -602,10 +620,22 @@ def calibrate_vit_int8_fused(
         x = x + (g @ lp["fc2"] + lp["fc2_bias"])
         stats = jnp.stack([amax(h1), amax(o), amax(h2), amax(g),
                            amax(q), amax(k), amax(v)])
-        return x, stats
+        # Max attention logit (one image at a time: (H, S, S) not
+        # (B, H, S, S), so calibration memory stays flat in B).
+        qh = q.astype(jnp.float32).reshape(B, S, Hn, Dh)
+        kh = k.astype(jnp.float32).reshape(B, S, Hn, Dh)
+        smax = jnp.max(jax.lax.map(
+            lambda qk: jnp.max(jnp.einsum("shd,thd->hst", qk[0], qk[1])),
+            (qh, kh),
+        )) * (Dh ** -0.5)
+        return x, (stats, smax)
 
-    _, stats = jax.lax.scan(layer, x, params["layers"])
-    return jnp.maximum(stats * margin / 127.0, 1e-8)  # (L, 7)
+    _, (stats, smax) = jax.lax.scan(layer, x, params["layers"])
+    scales = jnp.maximum(stats * margin / 127.0, 1e-8)  # (L, 7)
+    # Additive margin on the logit max: softmax is shift-invariant, a
+    # slack upper bound only shifts exp2 magnitudes (f32/bf16 exponent
+    # range absorbs ~120 base-2 of slack).
+    return jnp.concatenate([scales, smax[:, None] + 2.0], axis=1)  # (L, 8)
 
 
 def vit_forward_int8_fused(
@@ -666,6 +696,13 @@ def vit_forward_int8_fused(
 
     sm_scale = (D // cfg.num_heads) ** -0.5
     merged = act_scales.shape[-1] >= 7
+    # (L, 8) calibrations carry the per-layer logit max (column 7): the
+    # kernel then skips the row-max reduction over the score tensor.
+    static_smax = act_scales.shape[-1] >= 8
+    if not static_smax:
+        act_scales = jnp.concatenate(
+            [act_scales, jnp.zeros((act_scales.shape[0], 1), act_scales.dtype)],
+            axis=1)
 
     def body(carry, stacks):
         xc, xqc = carry
@@ -678,11 +715,13 @@ def vit_forward_int8_fused(
             # swallow the o-proj or the whole MLP measure SLOWER (Mosaic
             # pipelines medium kernels better than one long body).
             scales6 = jnp.stack([
-                sc[0], 1.0 / sc[4], 1.0 / sc[5], 1.0 / sc[6],
+                sc[0], 1.0 / sc[4], 1.0 / sc[5],
+                sc[7] * 1.4426950408889634,
                 sc[4] * sc[5] * sm_scale, sc[6] / 127.0,
             ]).reshape(6, 1)
             o = qkv_attn_int8(xqc.reshape(B, Sp, D), wqkv, wqkv_s, qkv_b,
                               scales6, cfg.num_heads, S, block_imgs=4,
+                              static_smax=static_smax,
                               out_dtype=xc.dtype, interpret=interpret)
             xp, xq2 = oproj_ln_quant(o.reshape(M, D), xc, wo, wo_s[0],
                                      o_b[0], ln2w, ln2b, sc[1], sc[2], eps,

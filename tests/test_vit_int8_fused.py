@@ -85,11 +85,16 @@ def test_fused_jits_and_scans(small_tower):
 
 def test_fused_int8_attention(small_tower):
     cfg, params, pixels, _ = small_tower
-    scales7 = calibrate_vit_int8_fused(params, cfg, pixels)
-    assert scales7.shape == (cfg.num_layers, 7)
+    scales8 = calibrate_vit_int8_fused(params, cfg, pixels)
+    assert scales8.shape == (cfg.num_layers, 8)
     ref = vit_forward(params, cfg, pixels)
     out = vit_forward_int8_fused(pack_vit_int8_fused(params), cfg, pixels,
-                                 scales7)
+                                 scales8)
+    # (L, 7) calibrations (pre-static-smax checkpoints) still run: the
+    # kernel falls back to the in-kernel row-max reduction.
+    out7 = vit_forward_int8_fused(pack_vit_int8_fused(params), cfg, pixels,
+                                  scales8[:, :7])
+    assert _cosine(out7, ref) > 0.999
     # int8 QK^T/PV adds three more quantization points; the fidelity
     # contract for the serving path stays cosine >= 0.999 vs bf16.
     assert _cosine(out, ref) > 0.999
