@@ -23,6 +23,19 @@ def main():
     parser.add_argument("--prompt-len", type=int, default=512)
     parser.add_argument("--layers", type=int, default=16)
     parser.add_argument("--hidden", type=int, default=2048)
+    parser.add_argument("--heads", type=int, default=16)
+    parser.add_argument("--kv-heads", type=int, default=8)
+    parser.add_argument("--intermediate", type=int, default=0,
+                        help="FFN width; 0 = hidden * 2.75")
+    parser.add_argument("--vocab", type=int, default=32768)
+    parser.add_argument("--init-quantized", action="store_true",
+                        help="Init LLM weights directly as int8 ON DEVICE "
+                             "(8B scale: a bf16 master copy would not fit "
+                             "a 16 GB chip); implies --quantize-llm")
+    parser.add_argument("--load-sweep", type=str, default="",
+                        help="Comma list of offered request counts (e.g. "
+                             "4,8,16,32): after the main sessions, measure "
+                             "TTFT at each offered load on the same engine")
     parser.add_argument("--kv-mode", choices=("paged", "slab"), default="paged")
     parser.add_argument("--decode-chunk", type=int, default=8)
     parser.add_argument("--quantize-llm", action="store_true")
@@ -43,10 +56,13 @@ def main():
     from multimeditron_tpu.models.multimodal import MultimodalConfig, MultimodalModel
     from multimeditron_tpu.serve.engine import EngineConfig, ServingEngine
 
+    if args.init_quantized:
+        args.quantize_llm = True
     llm = LlamaConfig(
-        vocab_size=32768, hidden_size=args.hidden,
-        intermediate_size=int(args.hidden * 2.75),
-        num_layers=args.layers, num_heads=16, num_kv_heads=8,
+        vocab_size=args.vocab, hidden_size=args.hidden,
+        intermediate_size=args.intermediate or int(args.hidden * 2.75),
+        num_layers=args.layers, num_heads=args.heads,
+        num_kv_heads=args.kv_heads,
         dtype=jnp.bfloat16,
     )
     img = ImageConfig(
@@ -57,7 +73,25 @@ def main():
     )
     model = MultimodalModel(MultimodalConfig(llm=llm, modalities=[img]))
     model.config.eos_token_idx = 1  # never sampled (random model emits junk)
-    params = model.init_params(jax.random.PRNGKey(0))
+    if args.init_quantized:
+        # Towers/projector init from a 1-layer stub (cheap), then the LLM
+        # tree is built directly int8 on device — the 8B bf16 master copy
+        # (~16 GB) never exists (llama_quant.init_quantized_llama_params).
+        import dataclasses
+
+        from multimeditron_tpu.models.llama_quant import (
+            init_quantized_llama_params,
+        )
+
+        stub_llm = dataclasses.replace(llm, num_layers=1, vocab_size=256)
+        stub = MultimodalModel(
+            MultimodalConfig(llm=stub_llm, modalities=[img]))
+        params = stub.init_params(jax.random.PRNGKey(0))
+        params["llm"] = jax.jit(
+            lambda k: init_quantized_llama_params(k, llm)
+        )(jax.random.PRNGKey(1))
+    else:
+        params = model.init_params(jax.random.PRNGKey(0))
 
     engine = ServingEngine(
         model, params,
@@ -77,7 +111,7 @@ def main():
     n_emb = 196
 
     def make_request(i):
-        ids = rng.integers(2, 32768, (1, args.prompt_len)).astype(np.int32)
+        ids = rng.integers(2, args.vocab, (1, args.prompt_len)).astype(np.int32)
         pos = np.arange(8, 8 + n_emb, dtype=np.int32)
         return {
             "input_ids": ids,
@@ -113,14 +147,45 @@ def main():
             "decode_tok_per_sec": (total_tokens - len(reqs)) / wall,
         })
 
+    # TTFT-vs-offered-load sweep: the <300 ms claim should hold (or degrade
+    # gracefully, with queueing visible) when more requests arrive than the
+    # engine has slots (sglang-style continuous batching under overload).
+    sweep = []
+    if args.load_sweep:
+        for offered in [int(x) for x in args.load_sweep.split(",") if x]:
+            reqs = [engine.submit(make_request(10_000 + offered * 100 + i))
+                    for i in range(offered)]
+            t0 = time.time()
+            engine.run()
+            wall = time.time() - t0
+            ttfts = sorted(r.ttft for r in reqs)
+            total_tokens = sum(len(r.tokens) for r in reqs)
+            sweep.append({
+                "offered": offered,
+                "ttft_p50_ms": round(ttfts[len(ttfts) // 2] * 1000, 1),
+                "ttft_p95_ms": round(
+                    ttfts[min(len(ttfts) - 1, int(len(ttfts) * 0.95))] * 1000, 1),
+                "decode_tok_per_sec": round((total_tokens - len(reqs)) / wall, 1),
+            })
+
     import json as _json
 
     import numpy as _np
 
+    # rough per-chip parameter count for the metric label
+    n_params = (llm.vocab_size * llm.hidden_size
+                + llm.num_layers * (
+                    llm.hidden_size * (llm.num_heads + 2 * llm.num_kv_heads)
+                    * llm.head_dim_
+                    + llm.num_heads * llm.head_dim_ * llm.hidden_size
+                    + (3 if llm.mlp_gate else 2)
+                    * llm.hidden_size * llm.intermediate_size))
+    size_tag = f"{n_params / 1e9:.0f}b" if n_params >= 3e9 else "1b"
+
     median = {k: float(_np.median([s[k] for s in sessions])) for k in sessions[0]}
     if args.json:
-        print(_json.dumps({
-            "metric": "serve_1b_multimodal",
+        record = {
+            "metric": f"serve_{size_tag}_multimodal",
             "requests": args.requests, "slots": args.slots,
             "prompt_len": args.prompt_len, "new_tokens": args.new_tokens,
             "sessions": len(sessions),
@@ -128,7 +193,10 @@ def main():
             "per_session": [
                 {k: round(v, 1) for k, v in s.items()} for s in sessions
             ],
-        }))
+        }
+        if sweep:
+            record["load_sweep"] = sweep
+        print(_json.dumps(record))
         return
     print(f"requests={args.requests} slots={args.slots} "
           f"prompt={args.prompt_len} new={args.new_tokens} "
@@ -138,6 +206,10 @@ def main():
           f"(median of {len(sessions)} sessions, includes queue wait)")
     print(f"aggregate: {median['tok_per_sec']:.0f} tok/s; "
           f"decode-only {median['decode_tok_per_sec']:.0f} tok/s")
+    for row in sweep:
+        print(f"  load {row['offered']:>3}: TTFT p50={row['ttft_p50_ms']:.0f} "
+              f"p95={row['ttft_p95_ms']:.0f} ms, "
+              f"decode {row['decode_tok_per_sec']:.0f} tok/s")
 
 
 if __name__ == "__main__":

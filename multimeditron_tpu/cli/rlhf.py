@@ -55,14 +55,19 @@ def rlhf(ctx, config, dryrun, steps):
                               add_generation_prompt=True)
     rl = cfg.get("rlhf", {})
     # algorithm switch (reference verl role map: ActorRollout-only = GRPO,
-    # ActorRollout + Critic = PPO with GAE, verl/__init__.py:29-50)
+    # ActorRollout + Critic = PPO with GAE, verl/__init__.py:29-50; DAPO
+    # recipe = clip-higher + dynamic sampling + token-level aggregation,
+    # verl/__init__.py:87-98)
     algorithm = rl.get("algorithm", "grpo").lower()
-    if algorithm not in ("grpo", "ppo"):
+    if algorithm not in ("grpo", "ppo", "dapo"):
         raise click.ClickException(f"unknown rlhf.algorithm: {algorithm}")
-    cfg_cls, trainer_cls = (
-        (PPOConfig, PPOTrainer) if algorithm == "ppo"
-        else (GRPOConfig, GRPOTrainer)
-    )
+    from multimeditron_tpu.rlhf.dapo import DAPOConfig, DAPOTrainer
+
+    cfg_cls, trainer_cls = {
+        "ppo": (PPOConfig, PPOTrainer),
+        "dapo": (DAPOConfig, DAPOTrainer),
+        "grpo": (GRPOConfig, GRPOTrainer),
+    }[algorithm]
     extra = {}
     if algorithm == "ppo":
         extra = dict(
@@ -72,6 +77,17 @@ def rlhf(ctx, config, dryrun, steps):
             critic_learning_rate=rl.get("critic_learning_rate", 1e-5),
             whiten_advantages=rl.get("whiten_advantages", True),
         )
+    elif algorithm == "dapo":
+        extra = dict(
+            clip_eps_low=rl.get("clip_eps_low", 0.2),
+            clip_eps_high=rl.get("clip_eps_high", 0.28),
+            dynamic_sampling=rl.get("dynamic_sampling", True),
+            max_resample_rounds=rl.get("max_resample_rounds", 3),
+            loss_agg=rl.get("loss_agg", "token-mean"),
+        )
+    if algorithm == "dapo":
+        rl.setdefault("kl_coef", 0.0)  # DAPO default: no KL penalty
+        rl.setdefault("reward_manager", "dapo")
     grpo_cfg = cfg_cls(
         dp=rl.get("dp"),
         fsdp=rl.get("fsdp"),

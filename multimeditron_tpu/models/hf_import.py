@@ -38,10 +38,50 @@ def _np(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def resolve_checkpoint(path_or_id: str) -> str:
+    """Resolve a local directory OR a Hugging Face Hub model id to a
+    local snapshot directory (reference ``from_pretrained`` pulls from
+    the hub, ``model/model.py:253``).
+
+    Offline-first: an existing directory wins; otherwise an
+    already-downloaded hub snapshot (the HF_HOME cache) is used without
+    touching the network; only then is a download attempted, with a
+    clear error when the environment has no egress."""
+    if os.path.isdir(path_or_id):
+        return path_or_id
+    import re as _re
+
+    if not _re.fullmatch(r"[\w.\-]+/[\w.\-]+", path_or_id):
+        raise FileNotFoundError(
+            f"checkpoint path {path_or_id!r} does not exist and does not "
+            f"look like a hub id (org/name)"
+        )
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError as e:
+        raise FileNotFoundError(
+            f"checkpoint {path_or_id!r} is not a local directory and "
+            f"huggingface_hub is unavailable to fetch it ({e})"
+        )
+    try:  # cache hit: no network
+        return snapshot_download(path_or_id, local_files_only=True)
+    except Exception:
+        pass
+    try:
+        return snapshot_download(path_or_id)
+    except Exception as e:
+        raise FileNotFoundError(
+            f"{path_or_id!r} is not a local directory, is not in the HF "
+            f"cache, and could not be downloaded ({type(e).__name__}: {e})"
+        )
+
+
 def load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load all safetensors shards in an HF checkpoint directory."""
+    """Load all safetensors shards in an HF checkpoint directory (or hub
+    id — resolved via ``resolve_checkpoint``)."""
     from safetensors import safe_open
 
+    path = resolve_checkpoint(path)
     files = sorted(
         f for f in os.listdir(path) if f.endswith(".safetensors")
     )
@@ -56,6 +96,7 @@ def load_hf_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def load_hf_config(path: str) -> dict:
+    path = resolve_checkpoint(path)
     with open(os.path.join(path, "config.json")) as f:
         return json.load(f)
 

@@ -69,3 +69,56 @@ def quantize_llama_params(params: Params, cfg: LlamaConfig) -> Params:
 
 def is_quantized(params: Params) -> bool:
     return "q_proj_q" in params.get("layers", {})
+
+
+def init_quantized_llama_params(key: jax.Array, cfg: LlamaConfig) -> Params:
+    """Random ALREADY-QUANTIZED serving tree, built on device.
+
+    For benchmarking at 8B scale: ``init_llama_params`` +
+    ``quantize_llama_params`` needs a bf16 master copy (~16 GB at 8B),
+    which does not fit a 16 GB chip — this initializer emits the int8
+    leaves directly (random values, per-channel scales sized so the
+    dequantized weights match the fan-in-scaled init distribution), so
+    the only bf16 tensors are the embedding and the norms. Tree layout
+    identical to ``quantize_llama_params`` output."""
+    D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    Dh = cfg.head_dim_
+    H, Hkv = cfg.num_heads, cfg.num_kv_heads
+    keys = jax.random.split(key, 10)
+
+    def qw(k, shape, fan_in):
+        q = jax.random.randint(k, shape, -127, 128, dtype=jnp.int8)
+        # random int8 has std ~73; scale so dequantized std ~ fan_in^-0.5
+        s = jnp.full(shape[:-2] + shape[-1:],
+                     fan_in ** -0.5 / 73.0, jnp.float32)
+        return q, s
+
+    layers: Params = {
+        "input_norm": jnp.ones((L, D), cfg.dtype),
+        "post_attn_norm": jnp.ones((L, D), cfg.dtype),
+    }
+    specs = [
+        ("q_proj", (L, D, H * Dh), D),
+        ("k_proj", (L, D, Hkv * Dh), D),
+        ("v_proj", (L, D, Hkv * Dh), D),
+        ("o_proj", (L, H * Dh, D), H * Dh),
+        ("up_proj", (L, D, F), D),
+        ("down_proj", (L, F, D), F),
+    ]
+    if cfg.mlp_gate:
+        specs.append(("gate_proj", (L, D, F), D))
+    for (name, shape, fan), k in zip(specs, keys[:len(specs)]):
+        q, s = qw(k, shape, fan)
+        layers[name + "_q"] = q
+        layers[name + "_s"] = s
+
+    embed = (jax.random.normal(keys[7], (cfg.vocab_size, D), jnp.float32)
+             * (D ** -0.5)).astype(cfg.dtype)
+    hq, hs = qw(keys[8], (1, D, cfg.vocab_size), D)
+    return {
+        "embed_tokens": embed,
+        "layers": layers,
+        "final_norm": jnp.ones((D,), cfg.dtype),
+        "lm_head_q": hq[0],
+        "lm_head_s": hs[0],
+    }

@@ -55,6 +55,18 @@ class GRPOConfig:
     max_new_tokens: int = 64
     temperature: float = 1.0
     clip_eps: float = 0.2
+    # Asymmetric ("clip-higher", DAPO) ratio clipping: when set, these
+    # override clip_eps for the lower/upper bound respectively. A larger
+    # upper bound lets low-probability tokens grow faster, countering
+    # entropy collapse (reference exposes verl's DAPO recipe,
+    # /root/reference/src/multimeditron/verl/__init__.py:87-98).
+    clip_eps_low: Optional[float] = None
+    clip_eps_high: Optional[float] = None
+    # Loss aggregation over response tokens: "token-mean" (every token
+    # weighs equally across the batch — DAPO's token-level loss; also the
+    # historical default here) or "seq-mean-token-mean" (per-sequence mean
+    # first, then mean over sequences — verl's GRPO default).
+    loss_agg: str = "token-mean"
     kl_coef: float = 0.02
     ppo_epochs: int = 1
     learning_rate: float = 1e-6
@@ -108,6 +120,12 @@ class GRPOTrainer:
                 lambda t: jax.tree.map(jnp.copy, t)
             )(self.params)
 
+        # Colocated rollout on the SAME mesh as the policy (reference
+        # parity: verl passes --tp to its sglang rollout engine,
+        # config/verl_trainer.yaml:62): KV pool/ring and scheduling state
+        # are committed to the trainer's (dp, fsdp, tp) mesh, so compiled
+        # prefill/decode calls see params and cache already placed — zero
+        # GSPMD resharding at the rollout boundary.
         self.engine = ServingEngine(
             model, self.params,
             EngineConfig(
@@ -118,6 +136,7 @@ class GRPOTrainer:
                 temperature=cfg.temperature,
                 seed=cfg.seed,
             ),
+            mesh=self.mesh if self._use_mesh else None,
         )
 
         mask = model.trainable_mask(params, cfg.training_mode)
@@ -192,14 +211,22 @@ class GRPOTrainer:
             if adv.ndim == 1:
                 adv = adv[:, None]
             ratio = jnp.exp(logprobs - batch["old_logprobs"])
-            clipped = jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps)
+            eps_lo = cfg.clip_eps_low if cfg.clip_eps_low is not None else cfg.clip_eps
+            eps_hi = cfg.clip_eps_high if cfg.clip_eps_high is not None else cfg.clip_eps
+            clipped = jnp.clip(ratio, 1.0 - eps_lo, 1.0 + eps_hi)
             pg = -jnp.minimum(ratio * adv, clipped * adv)
             # k3 KL estimator vs the frozen reference policy
             delta = batch["ref_logprobs"] - logprobs
             kl = jnp.exp(delta) - delta - 1.0
             per_token = pg + cfg.kl_coef * kl
             denom = jnp.maximum(resp_mask.sum(), 1.0)
-            loss = (per_token * resp_mask).sum() / denom
+            if cfg.loss_agg == "seq-mean-token-mean":
+                seq_tok = jnp.maximum(resp_mask.sum(axis=1), 1.0)
+                has_resp = (resp_mask.sum(axis=1) > 0).astype(jnp.float32)
+                n_seq = jnp.maximum(has_resp.sum(), 1.0)
+                loss = ((per_token * resp_mask).sum(axis=1) / seq_tok).sum() / n_seq
+            else:  # "token-mean" (DAPO token-level aggregation)
+                loss = (per_token * resp_mask).sum() / denom
             mean_kl = (kl * resp_mask).sum() / denom
             return loss, {"pg_loss": (pg * resp_mask).sum() / denom, "kl": mean_kl}
 

@@ -116,11 +116,36 @@ class Request:
 
 
 class ServingEngine:
-    def __init__(self, model: MultimodalModel, params: Dict[str, Any], cfg: EngineConfig):
+    def __init__(self, model: MultimodalModel, params: Dict[str, Any],
+                 cfg: EngineConfig, mesh=None):
+        """``mesh``: an EXISTING multi-axis mesh to colocate on (the GRPO
+        trainer's (dp, fsdp, tp) mesh — reference parity: verl passes
+        ``--tp`` through to its sglang rollout engine,
+        ``config/verl_trainer.yaml:62``). The engine then shards its KV
+        pool/ring/slab kv-head axis over that mesh's "tp" axis and
+        replicates scheduling state, so compiled prefill/decode calls see
+        params AND cache already placed — zero GSPMD resharding at the
+        rollout boundary. Mutually exclusive with ``cfg.tp > 1`` (which
+        builds a private tp-only mesh)."""
         self.model = model
         llm = model.config.llm
         self.mesh = None
-        if cfg.tp > 1:
+        self._tp = max(1, cfg.tp)
+        if mesh is not None and mesh.devices.size > 1:
+            if cfg.tp > 1:
+                raise ValueError(
+                    "pass EITHER an external mesh OR cfg.tp > 1, not both")
+            tp = int(mesh.shape.get("tp", 1))
+            if tp > 1 and (llm.num_heads % tp or llm.num_kv_heads % tp):
+                raise ValueError(
+                    f"mesh tp={tp} must divide num_heads={llm.num_heads} "
+                    f"and num_kv_heads={llm.num_kv_heads}"
+                )
+            if cfg.attn_impl is None:
+                cfg = dataclasses.replace(cfg, attn_impl="xla")
+            self.mesh = mesh
+            self._tp = tp
+        elif cfg.tp > 1:
             if cfg.attn_impl is None:
                 cfg = dataclasses.replace(cfg, attn_impl="xla")
             if llm.num_heads % cfg.tp or llm.num_kv_heads % cfg.tp:
@@ -141,11 +166,13 @@ class ServingEngine:
         self.eos_id = model.config.eos_token_idx
         if cfg.quantize_llm:
             from multimeditron_tpu.models.llama_quant import (
+                is_quantized,
                 quantize_llama_params,
             )
 
-            params = {**params,
-                      "llm": quantize_llama_params(params["llm"], llm)}
+            if not is_quantized(params["llm"]):
+                params = {**params,
+                          "llm": quantize_llama_params(params["llm"], llm)}
         if self.mesh is not None:
             from multimeditron_tpu.parallel.sharding import shard_params
 
@@ -261,7 +288,7 @@ class ServingEngine:
         for name, arr in state.items():
             spec = [None] * getattr(arr, "ndim", 0)
             ax = kv_axis.get(name)
-            if ax is not None and arr.shape[ax] % self.cfg.tp == 0:
+            if ax is not None and self._tp > 1 and arr.shape[ax] % self._tp == 0:
                 spec[ax] = "tp"
             out[name] = jax.device_put(arr, NamedSharding(self.mesh, P(*spec)))
         return out

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import json
+import logging
 import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional
@@ -27,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+logger = logging.getLogger(__name__)
 
 from multimeditron_tpu.models.multimodal import MultimodalModel, TrainingMode
 from multimeditron_tpu.parallel.mesh import make_mesh
@@ -98,18 +101,30 @@ class MetricsLogger:
 
     def __init__(self, cfg: TrainerConfig):
         self.cfg = cfg
+        # Multi-host: only process 0 writes (every host computes identical
+        # global metrics under GSPMD; N copies of the JSONL/wandb stream
+        # would race on shared filesystems).
+        self._primary = jax.process_index() == 0
+        self._file = None
+        self._wandb = None
+        if not self._primary:
+            return
         os.makedirs(cfg.output_dir, exist_ok=True)
         self._file = open(
             os.path.join(cfg.output_dir, "metrics.jsonl"), "a", buffering=1
         )
-        self._wandb = None
         if cfg.wandb:
             try:
                 import wandb
 
                 self._wandb = wandb.init(**self.wandb_init_kwargs(cfg))
-            except Exception:
+            except Exception as e:
                 self._wandb = None
+                logger.warning(
+                    "wandb was requested but init failed (%s: %s); "
+                    "continuing with stdout/JSONL logging only.",
+                    type(e).__name__, e,
+                )
 
     @staticmethod
     def wandb_init_kwargs(cfg: "TrainerConfig") -> Dict[str, Any]:
@@ -125,6 +140,8 @@ class MetricsLogger:
         return kwargs
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
+        if not self._primary:
+            return
         record = {"step": step, **{k: float(v) for k, v in metrics.items()}}
         self._file.write(json.dumps(record) + "\n")
         if self._wandb is not None:
@@ -134,7 +151,8 @@ class MetricsLogger:
             print(f"[step {step}] {printable}", flush=True)
 
     def close(self):
-        self._file.close()
+        if self._file is not None:
+            self._file.close()
 
 
 class MultimodalTrainer:

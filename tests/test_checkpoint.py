@@ -96,3 +96,56 @@ def test_orbax_save_restore(tmp_path, model_params):
         np.asarray(r["llm"]["embed_tokens"]), np.asarray(params["llm"]["embed_tokens"])
     )
     ckpt.close()
+
+
+# ----------------------------------------------------------------------
+# Hub-aware checkpoint resolution (reference from_pretrained pulls from
+# the HF hub, model/model.py:253)
+# ----------------------------------------------------------------------
+def test_resolve_checkpoint_local_dir(tmp_path):
+    from multimeditron_tpu.models.hf_import import resolve_checkpoint
+
+    assert resolve_checkpoint(str(tmp_path)) == str(tmp_path)
+
+
+def test_resolve_checkpoint_bad_path_raises():
+    import pytest
+
+    from multimeditron_tpu.models.hf_import import resolve_checkpoint
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        resolve_checkpoint("/no/such/dir/at/all")
+
+
+def test_resolve_checkpoint_hub_id_uses_cache(monkeypatch, tmp_path):
+    """A hub id resolves through snapshot_download, cache-first."""
+    import huggingface_hub
+
+    calls = []
+
+    def fake_snapshot_download(repo_id, local_files_only=False, **kw):
+        calls.append(local_files_only)
+        if local_files_only:
+            return str(tmp_path)  # simulated cache hit
+        raise AssertionError("network path must not be reached on cache hit")
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download",
+                        fake_snapshot_download)
+    from multimeditron_tpu.models.hf_import import resolve_checkpoint
+
+    assert resolve_checkpoint("openai/clip-vit-large-patch14") == str(tmp_path)
+    assert calls == [True]
+
+
+def test_resolve_checkpoint_hub_id_offline_error(monkeypatch):
+    import huggingface_hub
+    import pytest
+
+    def fail(*a, **kw):
+        raise OSError("offline")
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", fail)
+    from multimeditron_tpu.models.hf_import import resolve_checkpoint
+
+    with pytest.raises(FileNotFoundError, match="could not be downloaded"):
+        resolve_checkpoint("org/this-model-does-not-exist")

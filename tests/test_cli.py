@@ -264,6 +264,29 @@ def test_cli_rlhf_dryrun(workdir, tmp_path):
     assert "dryrun OK" in result.output
 
 
+def test_cli_rlhf_dryrun_dapo(workdir, tmp_path):
+    """algorithm: dapo selects the DAPOTrainer (clip-higher + dynamic
+    sampling) and defaults kl_coef to 0 / reward_manager to dapo."""
+    root, cfg_path, config = workdir
+    import yaml
+    from multimeditron_tpu.cli import main_cli
+
+    cfg = dict(config)
+    cfg["training_mode"] = "LM_ONLY"
+    cfg["rlhf"] = {"algorithm": "dapo", "group_size": 2,
+                   "prompts_per_step": 1, "max_new_tokens": 4,
+                   "seq_bucket": 64, "max_slots": 2,
+                   "prompt_dataset": "unused.jsonl"}
+    p = tmp_path / "rl_dapo.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    result = CliRunner().invoke(main_cli, ["rlhf", "-c", str(p), "--dryrun"],
+                                catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert "dryrun OK" in result.output
+    assert "algorithm=dapo" in result.output
+    assert "reward_manager=dapo" in result.output
+
+
 def test_engine_config_from_cfg():
     """Every EngineConfig knob is reachable from the YAML serve: section
     (quantize_llm, kv_mode, decode_chunk, ...); CLI overrides win;

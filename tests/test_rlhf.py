@@ -234,6 +234,10 @@ def test_grpo_sharded_mesh_survives_rollout_and_update():
 
     assert "fsdp" in spec_of(trainer.params) and "tp" in spec_of(trainer.params)
     assert "fsdp" in spec_of(trainer.ref_params)
+    # the colocated rollout engine's KV cache shards its kv-head axis over
+    # the trainer mesh's tp axis (zero resharding at the rollout boundary)
+    assert trainer.engine.mesh is trainer.mesh
+    assert "tp" in str(trainer.engine.state["k"].sharding.spec)
     # optimizer moments shard like their params
     mu_specs = [
         str(x.sharding.spec)
@@ -364,3 +368,146 @@ def test_grpo_multimodal_threads_mm_inputs_and_improves():
     first = np.mean([h["reward_mean"] for h in history[:2]])
     last = np.mean([h["reward_mean"] for h in history[-2:]])
     assert last >= first
+
+
+# ----------------------------------------------------------------------
+# DAPO (reference exposes verl's DAPO recipe, verl/__init__.py:87-98):
+# clip-higher + dynamic sampling + token-level loss aggregation
+# ----------------------------------------------------------------------
+def _dapo_setup(**cfg_kw):
+    from multimeditron_tpu.rlhf.dapo import DAPOConfig, DAPOTrainer
+
+    model = MultimodalModel(tiny_mm_config())
+    model.config.eos_token_idx = 2
+    params = model.init_params(jax.random.PRNGKey(0))
+    collator = DataCollatorForMultimodal(
+        tokenizer=ToyTokenizer(),
+        modality_processors=model.processors(),
+        modality_loaders={},
+        attachment_token=ATTACH,
+        chat_template=ChatTemplate.llama(),
+        add_generation_prompt=True,
+        pad_to_multiple=8,
+    )
+    cfg = DAPOConfig(
+        group_size=4,
+        prompts_per_step=2,
+        max_new_tokens=4,
+        temperature=1.0,
+        learning_rate=5e-3,
+        training_mode=TrainingMode.LM_ONLY,
+        seq_bucket=64,
+        max_slots=8,
+        **cfg_kw,
+    )
+    return DAPOTrainer(model, params, collator, cfg), cfg
+
+
+def test_dapo_filter_groups_drops_degenerate():
+    """Zero-reward-variance groups are dropped and mm rows remapped."""
+    trainer, cfg = _dapo_setup()
+    G = cfg.group_size
+    n = 2 * G
+    batch = {
+        "input_ids": np.arange(n * 8, dtype=np.int32).reshape(n, 8),
+        "attention_mask": np.ones((n, 8), np.int32),
+        "response_mask": np.ones((n, 8), np.int32),
+        "advantages": np.zeros((n,), np.float32),
+        "rewards": np.concatenate([np.ones(G), np.arange(G)]).astype(np.float32),
+        "mm_inputs": {
+            "image": {
+                # one mm value row per rollout row + one padded row -> n
+                "values": np.zeros((n + 1, 3), np.float32),
+                "batch_idx": np.concatenate(
+                    [np.arange(n), [n]]).astype(np.int32),
+                "token_pos": np.zeros((n + 1,), np.int32),
+            }
+        },
+    }
+    keep = trainer._group_keep_mask(batch["rewards"], G, cfg.degenerate_std)
+    np.testing.assert_array_equal(keep, [False, True])
+    out = trainer._filter_groups(batch, keep)
+    assert out["input_ids"].shape[0] == G
+    # group 2's first row was old row G -> new row 0
+    np.testing.assert_array_equal(out["input_ids"][0], batch["input_ids"][G])
+    bi = out["mm_inputs"]["image"]["batch_idx"]
+    # dropped rollout rows' mm values point at the out-of-range slot G
+    np.testing.assert_array_equal(bi[:G], G)
+    np.testing.assert_array_equal(bi[G:n], np.arange(G))
+    assert bi[n] == G  # padded row stays out-of-range
+
+
+def test_dapo_skips_update_when_all_groups_degenerate():
+    trainer, cfg = _dapo_setup()
+    # a reward source that always returns the same value -> zero variance
+    prompts = [
+        {"sample": {"conversations": [{"role": "user", "content": "hi"}],
+                    "modalities": []},
+         "data_source": "exact_match", "ground_truth": "___never___"},
+    ]
+    before = jax.tree.leaves(trainer.params)[0]
+    metrics = trainer.train_on_prompts(prompts)  # no pool -> cannot resample
+    assert metrics["skipped"] == 1.0
+    assert metrics["groups_kept"] == 0.0
+    after = jax.tree.leaves(trainer.params)[0]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+
+
+@pytest.mark.slow
+def test_dapo_improves_reward():
+    trainer, cfg = _dapo_setup()
+    assert cfg.kl_coef == 0.0 and cfg.clip_eps_high == 0.28
+    prompts = [
+        {"sample": {"conversations": [{"role": "user", "content": "say the word"}],
+                    "modalities": []},
+         "data_source": "char_count", "ground_truth": "7"},
+        {"sample": {"conversations": [{"role": "user", "content": "what now"}],
+                    "modalities": []},
+         "data_source": "char_count", "ground_truth": "7"},
+    ]
+    history = trainer.fit(prompts, num_steps=6)
+    updated = [h for h in history if not h.get("skipped")]
+    assert updated, "dynamic sampling dropped every step"
+    assert all(np.isfinite(h["loss"]) for h in updated)
+    first = updated[0]["reward_mean"]
+    last = updated[-1]["reward_mean"]
+    assert last >= first
+    assert last > 0
+
+
+def test_dapo_loss_agg_seq_mean_differs():
+    """seq-mean-token-mean weighs sequences equally; with unequal response
+    lengths the two aggregations give different losses."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    trainer, cfg = _dapo_setup()
+    B, S = 2, 9
+    batch = {
+        "input_ids": jnp.ones((B, S), jnp.int32),
+        "attention_mask": jnp.ones((B, S), jnp.int32),
+        "response_mask": jnp.asarray(
+            [[0, 1, 1, 1, 1, 1, 1, 1, 1],
+             [0, 0, 0, 0, 0, 0, 0, 1, 1]], jnp.int32),
+        "advantages": jnp.asarray([1.0, -1.0]),
+        "mm_inputs": None,
+    }
+    lp = trainer._logprob_fn(
+        trainer.params, batch["input_ids"], batch["attention_mask"], None)
+    batch["old_logprobs"] = lp - 0.1  # nontrivial ratio
+    batch["ref_logprobs"] = lp
+
+    def loss_for(agg):
+        trainer.cfg = dc.replace(cfg, loss_agg=agg)
+        step = trainer._make_train_step()
+        # reuse the inner loss via value_and_grad-free evaluation
+        p, o, m = jax.jit(step)(
+            jax.tree.map(jnp.copy, trainer.params),
+            jax.tree.map(jnp.copy, trainer.opt_state), batch)
+        return float(m["loss"])
+
+    tok = loss_for("token-mean")
+    seq = loss_for("seq-mean-token-mean")
+    trainer.cfg = cfg
+    assert np.isfinite(tok) and np.isfinite(seq)
+    assert abs(tok - seq) > 1e-7
