@@ -229,6 +229,7 @@ class ImageModality(BaseModality):
             from multimeditron_tpu.ops.vit_int8_fused import (
                 calibrate_vit_int8_fused,
                 pack_vit_int8_fused,
+                smooth_vit_params,
             )
 
             if calibration_values is None:
@@ -239,11 +240,18 @@ class ImageModality(BaseModality):
             calib = self._normalize_wire(jnp.asarray(calibration_values))
             out = dict(params)
             # one compiled call (eager per-op dispatch is ~30-40 ms each
-            # through the TPU relay; the calibration pass has thousands)
+            # through the TPU relay; the calibration pass has thousands).
+            # SmoothQuant-style outlier migration first: exact folds that
+            # condition the per-tensor static activation scales (real CLIP
+            # towers have outlier channels; tests/test_vit_int8_fused.py
+            # shows the unsmoothed path losing fidelity on them).
+            emb = jax.jit(
+                smooth_vit_params, static_argnums=(1,)
+            )(params["embedder"], self.vit_cfg, calib)
             out["act_scales"] = jax.jit(
                 calibrate_vit_int8_fused, static_argnums=(1,)
-            )(params["embedder"], self.vit_cfg, calib)
-            out["embedder"] = jax.jit(pack_vit_int8_fused)(params["embedder"])
+            )(emb, self.vit_cfg, calib)
+            out["embedder"] = jax.jit(pack_vit_int8_fused)(emb)
             return out
 
         from multimeditron_tpu.models.vit_quant import (

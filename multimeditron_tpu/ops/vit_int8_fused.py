@@ -193,7 +193,8 @@ def _mlp_fused_kernel(xq_ref, xres_ref, w1_ref, w1s_ref, b1_ref,
     xq_out_ref[:] = _quant_f32(h, inv_s0n_ref[0, 0])
 
 
-def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
+def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
+                     t_scr=None, *,
                      num_heads: int, kv_len: int, static_smax: bool = False):
     """Merged QKV projection + int8 encoder attention for G images.
 
@@ -229,31 +230,100 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
     q8, k8, v16 = qkv
     qk_scale = sc_ref[4, 0]
 
+    # Packed-key split (static path, Sp = 264): the 257-token key axis
+    # pads to 264 lanes = THREE 128-lane VREG columns, so every softmax
+    # VPU pass (scale, exp2, mask, sum, cast) runs at 384-effective-lane
+    # width — 50% wasted volume on the VPU-bound half of the encoder.
+    # Split the scores into an aligned (Sp, 256) main block (2 full VREG
+    # columns, NO mask pass — all 256 keys real) plus a per-image tail
+    # block holding key rows 256..263 (token 256 + pads) for ALL heads,
+    # packed densely as (Sp, H*8) = (264, 128) so the tail's exp2/mask
+    # passes cost 1/16th of a score column instead of a full one.
+    packed = static_smax and t_scr is not None
+    tail = Sp - 256 if packed else 0
+
+    # Scores are written to scratch PRE-SCALED into the base-2 softmax
+    # domain and (non-packed path) PRE-MASKED: both passes run in the
+    # dots phase, whose MXU work the double-buffered pipeline overlaps
+    # with the previous image's VPU-bound consume — moving ~2 full VPU
+    # passes over the score tensor off the critical path.
+    a = qk_scale * 1.4426950408889634
+    maskrow = None
+    if not packed and kv_len < Sp:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, Sp), 1)
+        maskrow = jnp.where(lane < kv_len, 0.0, -1e30)
+
     def dots(g, slot):
         rows = slice(g * Sp, (g + 1) * Sp)
         qg, kg = q8[rows], k8[rows]
         for h in range(num_heads):
             sl = slice(h * dh, (h + 1) * dh)
-            s_scr[slot, pl.ds(h * Sp, Sp), :] = jax.lax.dot_general(
-                qg[:, sl], kg[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
+            if packed:
+                s_scr[slot, pl.ds(h * Sp, Sp), :] = jax.lax.dot_general(
+                    qg[:, sl], kg[:256, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * a
+                t_scr[slot, :, h * tail:(h + 1) * tail] = jax.lax.dot_general(
+                    qg[:, sl], kg[256:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * a
+            else:
+                raw = jax.lax.dot_general(
+                    qg[:, sl], kg[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * a
+                if maskrow is not None:
+                    raw = raw + maskrow
+                s_scr[slot, pl.ds(h * Sp, Sp), :] = raw
 
     def consume(g, slot):
         vg = v16[g * Sp:(g + 1) * Sp]
         # base-2 softmax: LOG2_E folded into the scalar scale, exp2
         # direct — exactly softmax (2^(x*log2e) = e^x), one fewer VPU
         # pass over the (H*Sp, Sp) scores than exp
-        sc = s_scr[slot] * (qk_scale * 1.4426950408889634)
-        if kv_len < Sp:
-            lane = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
-            sc = jnp.where(lane < kv_len, sc, -1e30)
+        sc = s_scr[slot]
+        if packed:
+            m = sc_ref[3, 0]
+            p = jnp.exp2(sc - m)
+            tc = t_scr[slot]                          # (Sp, H*tail)
+            lane = jax.lax.broadcasted_iota(jnp.int32, tc.shape, 1)
+            # lane h*tail + j is key row 256+j of head h: real iff
+            # 256 + j < kv_len
+            pt = jnp.where(lane % tail < kv_len - 256,
+                           jnp.exp2(tc - m), 0.0)     # (Sp, H*tail)
+            l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            pb = p.astype(jnp.bfloat16)
+            ptb = pt.astype(jnp.bfloat16)
+            for h in range(num_heads):
+                sl = slice(h * dh, (h + 1) * dh)
+                ts = slice(h * tail, (h + 1) * tail)
+                acc = jax.lax.dot_general(
+                    pb[h * Sp:(h + 1) * Sp, :], vg[:256, sl],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    ptb[:, ts], vg[256:, sl],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                lt = jnp.sum(pt[:, ts], axis=-1, keepdims=True)
+                o_ref[g, :, sl] = (
+                    acc / (l[h * Sp:(h + 1) * Sp] + lt)
+                ).astype(o_ref.dtype)
+            return
         if static_smax:
             m = sc_ref[3, 0]
         else:
             m = jnp.max(sc, axis=-1, keepdims=True)
         p = jnp.exp2(sc - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
+        # Floor the denominator: with a static per-layer stabilizer a row
+        # whose true max sits >~126 base-2 below it underflows every p to
+        # 0.0 and 0/0 would emit NaN; flooring degrades that row to zeros.
+        # Reciprocal-multiply instead of divide: one VPU op per element
+        # in the (Sp, dh) epilogue instead of a multi-op divide.
+        linv = pl.reciprocal(
+            jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30),
+            approx=True)
         pb = p.astype(jnp.bfloat16)
         for h in range(num_heads):
             sl = slice(h * dh, (h + 1) * dh)
@@ -262,7 +332,7 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr, *,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            o_ref[g, :, sl] = (acc / l[h * Sp:(h + 1) * Sp]).astype(o_ref.dtype)
+            o_ref[g, :, sl] = (acc * linv[h * Sp:(h + 1) * Sp]).astype(o_ref.dtype)
 
     dots(0, 0)
     for g in range(G):
@@ -543,7 +613,7 @@ def pack_vit_int8_fused(params: Params) -> Params:
 
 def qkv_attn_int8(xq3, wq, ws, bias, scales6, num_heads, kv_len,
                   *, out_dtype=jnp.bfloat16, block_imgs: int = 8,
-                  static_smax: bool = False,
+                  static_smax: bool = False, allow_packed: bool = True,
                   interpret: Optional[bool] = None):
     """xq3 (B, Sp, D) int8 -> attention output (B, Sp, D) bf16, with the
     QKV projection and int8 attention fused into one kernel."""
@@ -555,6 +625,15 @@ def qkv_attn_int8(xq3, wq, ws, bias, scales6, num_heads, kv_len,
                              kv_len=kv_len, static_smax=static_smax)
     spec = pl.BlockSpec((G, Sp, D), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    # Packed-key split (see _qkv_attn_kernel): static-smax sequences a few
+    # tokens past 256 lanes split into an aligned 256-lane main block plus
+    # a densely head-packed tail — the second scratch's presence enables it.
+    packed = allow_packed and static_smax and Sp > 256 and kv_len > 256
+    scratch = [pltpu.VMEM(
+        (2, num_heads * Sp, 256 if packed else Sp), jnp.float32)]
+    if packed:
+        scratch.append(
+            pltpu.VMEM((2, Sp, num_heads * (Sp - 256)), jnp.float32))
     return pl.pallas_call(
         kern,
         grid=(B // G,),
@@ -567,7 +646,7 @@ def qkv_attn_int8(xq3, wq, ws, bias, scales6, num_heads, kv_len,
         ],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, Sp, D), out_dtype),
-        scratch_shapes=[pltpu.VMEM((2, num_heads * Sp, Sp), jnp.float32)],
+        scratch_shapes=scratch,
         # "arbitrary" grid semantics (the requant roof chain's setting)
         # was tried here and did not finish compiling in 20 minutes —
         # Mosaic's cross-step pipeliner chokes on the big unrolled body.
@@ -638,11 +717,131 @@ def calibrate_vit_int8_fused(
     return jnp.concatenate([scales, smax[:, None] + 2.0], axis=1)  # (L, 8)
 
 
+def smooth_vit_params(
+    params: Params,
+    cfg: ViTConfig,
+    pixel_values: jax.Array,
+    # alpha sweep on the outlier-injected test tower: 0.5 -> 0.9971,
+    # 0.65 -> 0.9991, 0.8 -> 0.9991 cosine; 0.65 balances act-vs-weight
+    # range pressure best.
+    alpha: float = 0.65,
+    clip: tuple = (0.0625, 16.0),
+) -> Params:
+    """SmoothQuant-style outlier migration for the static-W8A8 tower.
+
+    Real CLIP towers carry per-channel activation outliers; with a
+    per-TENSOR static activation scale, one hot channel starves every
+    other channel of quantization levels. All four folds below are
+    mathematically EXACT in the bf16 forward (they move a per-channel
+    factor across a linearity), so fidelity of the quantized path
+    improves at zero runtime cost — call this BEFORE
+    ``calibrate_vit_int8_fused`` / ``pack_vit_int8_fused``:
+
+      1. ln1 -> q/k/v:  h1/s enters the quantizer; s folds into ln1 gamma/
+         beta (producer) and the qkv weight ROWS (consumer).
+         s_j = c_act_j^alpha / c_w_j^(1-alpha) (Xiao et al., 2022),
+         geomean-normalized per layer.
+      2. q <-> k balance: QK^T contracts channels, so scaling q channel j
+         by 1/t and k channel j by t is exact; t = sqrt(qc/kc) equalizes
+         the two per-tensor quant ranges.
+      3. v -> o: softmax-weighted sums preserve channel scaling, so a
+         factor moved from v_proj output columns to o_proj input rows is
+         exact across the attention; it conditions the o quant point.
+      4. ln2 -> fc1: same as (1) for the MLP half.
+
+    (The gelu-out -> fc2 point cannot be folded: gelu is not
+    scale-equivariant.)  Ref: the CUDA int8 serving stacks this replaces
+    (reference pyproject.toml sglang extra)."""
+    B = pixel_values.shape[0]
+    Hn = cfg.num_heads
+
+    x = patchify(pixel_values.astype(cfg.dtype), cfg.patch_size) @ params["patch_proj"]
+    if cfg.patch_bias:
+        x = x + params["patch_bias"]
+    if cfg.use_cls_token:
+        cls = jnp.broadcast_to(
+            params["cls_token"], (B, 1, cfg.hidden_size)).astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["position_embedding"]
+    if cfg.use_pre_layernorm:
+        x = layer_norm(x, params["pre_ln_w"], params["pre_ln_b"],
+                       cfg.layer_norm_eps)
+
+    def camax(h):  # per-channel abs max over batch and tokens
+        return jnp.max(jnp.abs(h.astype(jnp.float32)), axis=(0, 1))
+
+    def layer(x, lp):
+        h1 = layer_norm(x, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_eps)
+        q = h1 @ lp["q_proj"] + lp["q_bias"]
+        k = h1 @ lp["k_proj"] + lp["k_bias"]
+        v = h1 @ lp["v_proj"] + lp["v_bias"]
+        o = encoder_attention(q, k, v, Hn)
+        x = x + (o @ lp["o_proj"] + lp["o_bias"])
+        h2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
+        g = _act(cfg.hidden_act, h2 @ lp["fc1"] + lp["fc1_bias"])
+        x = x + (g @ lp["fc2"] + lp["fc2_bias"])
+        return x, (camax(h1), camax(q), camax(k), camax(o), camax(h2))
+
+    _, (c1, qc, kc, oc, c2) = jax.lax.scan(layer, x, params["layers"])
+
+    lp = dict(params["layers"])
+    eps = 1e-6
+
+    def rowmax(*keys):  # (L, D): amax over output cols per input row
+        return jnp.max(jnp.stack([
+            jnp.max(jnp.abs(lp[k].astype(jnp.float32)), axis=-1)
+            for k in keys
+        ]), axis=0)
+
+    def factor(c_act, c_w):
+        s = (jnp.power(jnp.maximum(c_act, eps), alpha)
+             / jnp.power(jnp.maximum(c_w, eps), 1.0 - alpha))
+        s = s / jnp.exp(jnp.mean(jnp.log(s), axis=-1, keepdims=True))
+        return jnp.clip(s, clip[0], clip[1])
+
+    def scale_rows(key, s):    # w (L, K, N): rows = input channels
+        lp[key] = (lp[key].astype(jnp.float32) * s[:, :, None]).astype(
+            lp[key].dtype)
+
+    def scale_cols(key, bkey, s):  # output channels (and their bias)
+        lp[key] = (lp[key].astype(jnp.float32) * s[:, None, :]).astype(
+            lp[key].dtype)
+        lp[bkey] = (lp[bkey].astype(jnp.float32) * s).astype(lp[bkey].dtype)
+
+    def scale_vec(key, s):
+        lp[key] = (lp[key].astype(jnp.float32) * s).astype(lp[key].dtype)
+
+    # 1. ln1 -> qkv
+    s1 = factor(c1, rowmax("q_proj", "k_proj", "v_proj"))
+    scale_vec("ln1_w", 1.0 / s1)
+    scale_vec("ln1_b", 1.0 / s1)
+    for k in ("q_proj", "k_proj", "v_proj"):
+        scale_rows(k, s1)
+    # 2. q/k range balance (exact across the dot product)
+    t = jnp.clip(jnp.sqrt(jnp.maximum(qc, eps) / jnp.maximum(kc, eps)),
+                 clip[0], clip[1])
+    scale_cols("q_proj", "q_bias", 1.0 / t)
+    scale_cols("k_proj", "k_bias", t)
+    # 3. v -> o (exact across softmax-weighted sums)
+    so = factor(oc, rowmax("o_proj"))
+    scale_cols("v_proj", "v_bias", 1.0 / so)
+    scale_rows("o_proj", so)
+    # 4. ln2 -> fc1
+    s2 = factor(c2, rowmax("fc1"))
+    scale_vec("ln2_w", 1.0 / s2)
+    scale_vec("ln2_b", 1.0 / s2)
+    scale_rows("fc1", s2)
+
+    return {**params, "layers": lp}
+
+
 def vit_forward_int8_fused(
     packed: Params,
     cfg: ViTConfig,
     pixel_values: jax.Array,
-    act_scales: jax.Array,  # (L, 4) static scales; (L, 7) adds int8 attn
+    act_scales: jax.Array,  # (L, 4) static; (L, 7) adds int8 attn; (L, 8)
+    # additionally carries col 7 = per-layer max attention logit
+    # (natural-log domain, +2.0 margin) enabling the static-smax kernel.
     drop_cls: bool = True,
     interpret: Optional[bool] = None,
     # In CHAINED isolation 528-row blocks look better for oproj (1,070
@@ -678,6 +877,17 @@ def vit_forward_int8_fused(
     M = B * Sp
     x2d = x.reshape(M, D)
 
+    merged = act_scales.shape[-1] >= 7
+    # (L, 8) calibrations carry the per-layer logit max (column 7): the
+    # kernel then skips the row-max reduction over the score tensor.
+    # Pad (L, 7) to (L, 8) BEFORE layer_stacks captures the array, so the
+    # scan body's sc[7] index is in bounds on 7-column calibrations.
+    static_smax = act_scales.shape[-1] >= 8
+    if not static_smax:
+        act_scales = jnp.concatenate(
+            [act_scales, jnp.zeros((act_scales.shape[0], 1), act_scales.dtype)],
+            axis=1)
+
     # s0 of layer 0; rolled so step l carries s0 of layer l+1.
     s0_next = jnp.roll(act_scales[:, 0], -1)
     xq0 = ln_quant(x2d, packed["ln1_w"][0], packed["ln1_b"][0],
@@ -695,14 +905,6 @@ def vit_forward_int8_fused(
     )
 
     sm_scale = (D // cfg.num_heads) ** -0.5
-    merged = act_scales.shape[-1] >= 7
-    # (L, 8) calibrations carry the per-layer logit max (column 7): the
-    # kernel then skips the row-max reduction over the score tensor.
-    static_smax = act_scales.shape[-1] >= 8
-    if not static_smax:
-        act_scales = jnp.concatenate(
-            [act_scales, jnp.zeros((act_scales.shape[0], 1), act_scales.dtype)],
-            axis=1)
 
     def body(carry, stacks):
         xc, xqc = carry
@@ -719,9 +921,13 @@ def vit_forward_int8_fused(
                 sc[7] * 1.4426950408889634,
                 sc[4] * sc[5] * sm_scale, sc[6] / 127.0,
             ]).reshape(6, 1)
+            # allow_packed=False: the packed-key split measured SLOWER in
+            # the full pipeline (1,117 vs 1,411 img/s) — the per-head tail
+            # dots and masked tail stores cost more than the saved softmax
+            # lanes (kernel kept for the probe record; see known_issues).
             o = qkv_attn_int8(xqc.reshape(B, Sp, D), wqkv, wqkv_s, qkv_b,
                               scales6, cfg.num_heads, S, block_imgs=4,
-                              static_smax=static_smax,
+                              static_smax=static_smax, allow_packed=False,
                               out_dtype=xc.dtype, interpret=interpret)
             xp, xq2 = oproj_ln_quant(o.reshape(M, D), xc, wo, wo_s[0],
                                      o_b[0], ln2w, ln2b, sc[1], sc[2], eps,

@@ -5,6 +5,8 @@ The fused path must reproduce the static-scales int8 reference
 contract the round-1 int8 path was verified against.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -182,3 +184,119 @@ def test_mlp_fused_matches_split_pair(small_tower):
     np.testing.assert_array_equal(np.asarray(xqn), np.asarray(xqn_ref))
     np.testing.assert_allclose(np.asarray(xn, np.float32),
                                np.asarray(xn_ref, np.float32), atol=1e-2)
+
+
+def test_fused_packed_key_split_257_tokens():
+    """The packed-key split path (main 256-lane block + head-packed tail)
+    triggers at ViT-L-like sequence lengths (257 tokens -> Sp=264) with
+    static-smax calibrations; parity vs bf16 and vs the (L,7) non-packed
+    row-max path must hold."""
+    cfg = ViTConfig(
+        image_size=224,
+        patch_size=14,   # 16x16 = 256 patches + CLS = 257 tokens
+        hidden_size=128,
+        num_layers=2,
+        num_heads=2,
+        intermediate_size=256,
+        dtype=jnp.bfloat16,
+    )
+    params = init_vit_params(jax.random.PRNGKey(3), cfg)
+    pixels = jax.random.uniform(jax.random.PRNGKey(4), (2, 224, 224, 3),
+                                jnp.float32, -1.5, 1.5)
+    scales8 = calibrate_vit_int8_fused(params, cfg, pixels)
+    packed = pack_vit_int8_fused(params)
+    ref = vit_forward(params, cfg, pixels)
+    out = vit_forward_int8_fused(packed, cfg, pixels, scales8)
+    out7 = vit_forward_int8_fused(packed, cfg, pixels, scales8[:, :7])  # row-max path
+    assert _cosine(out, ref) > 0.999
+    assert _cosine(out, out7) > 0.9995
+
+    # the packed-key-split kernel variant itself (disabled in the full
+    # pipeline for speed, kept parity-correct): direct comparison
+    from multimeditron_tpu.ops.vit_int8_fused import qkv_attn_int8
+
+    D, H = cfg.hidden_size, cfg.num_heads
+    rng = np.random.default_rng(0)
+    Sp = 264
+    xq = jnp.asarray(rng.integers(-80, 80, (2, Sp, D)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-80, 80, (3, D, D)), jnp.int8)
+    ws = jnp.full((3, 1, D), 1e-4, jnp.float32)
+    bias = jnp.zeros((3, 1, D), jnp.float32)
+    s6 = jnp.asarray([[0.05], [10.0], [10.0], [12.0],
+                      [0.01 * 0.01 * 0.125 * 1.4427], [0.02]], jnp.float32)
+    a = qkv_attn_int8(xq, wq, ws, bias, s6, H, 257, static_smax=True,
+                      allow_packed=True, block_imgs=2)
+    b = qkv_attn_int8(xq, wq, ws, bias, s6, H, 257, static_smax=True,
+                      allow_packed=False, block_imgs=2)
+    # approx-reciprocal epilogue in the unpacked path adds ~1e-5 noise
+    assert _cosine(a, b) > 0.9999
+
+
+def test_fused_outlier_channel_fidelity():
+    """Real CLIP-L weights have per-channel outliers (the known failure
+    mode of static W8A8). Inject heavy-tailed channel scales into a
+    random tower and demand the fidelity contract still holds — a proxy
+    for the real-weights check until a local checkpoint is available
+    (see test_fused_real_clip_weights)."""
+    cfg = ViTConfig(
+        image_size=28, patch_size=14, hidden_size=128, num_layers=3,
+        num_heads=4, intermediate_size=256, dtype=jnp.bfloat16,
+    )
+    params = init_vit_params(jax.random.PRNGKey(7), cfg)
+
+    def inject(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if x.ndim >= 2 and "proj" in name:
+            rng = np.random.default_rng(abs(hash(name)) % (2**31))
+            # ~3% outlier output channels at 8-16x the typical magnitude
+            scale = np.where(rng.random(x.shape[-1]) < 0.03,
+                             rng.uniform(8.0, 16.0, x.shape[-1]), 1.0)
+            return (x.astype(jnp.float32) * scale).astype(x.dtype)
+        return x
+
+    params = jax.tree_util.tree_map_with_path(inject, params)
+    pixels = jax.random.uniform(jax.random.PRNGKey(8), (4, 28, 28, 3),
+                                jnp.float32, -1.5, 1.5)
+    ref = vit_forward(params, cfg, pixels)
+    assert np.isfinite(np.asarray(ref, np.float32)).all()
+
+    # Without smoothing, per-TENSOR static activation scales lose the
+    # non-outlier channels (measured ~0.968 cosine on this tower) — the
+    # reason smooth_vit_params exists.
+    raw = vit_forward_int8_fused(
+        pack_vit_int8_fused(params), cfg, pixels,
+        calibrate_vit_int8_fused(params, cfg, pixels))
+    raw_cos = _cosine(raw, ref)
+
+    from multimeditron_tpu.ops.vit_int8_fused import smooth_vit_params
+
+    sm = smooth_vit_params(params, cfg, pixels)
+    # the folds are mathematically exact up to bf16 re-rounding of the
+    # folded weights (~1e-4 on this tower)
+    assert _cosine(vit_forward(sm, cfg, pixels), ref) > 0.9995
+    out = vit_forward_int8_fused(pack_vit_int8_fused(sm), cfg, pixels,
+                                 calibrate_vit_int8_fused(sm, cfg, pixels))
+    cos = _cosine(out, ref)
+    assert cos > 0.999, f"smoothed {cos} (raw {raw_cos})"
+    assert cos > raw_cos  # smoothing must actually help here
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.environ.get("MMT_CLIP_CKPT", "/ckpts/clip-vit-large-patch14")),
+    reason="real CLIP-L checkpoint not available (set MMT_CLIP_CKPT)",
+)
+def test_fused_real_clip_weights():
+    """Fidelity on REAL CLIP-ViT-L/14 weights (VERDICT r3 #6): import the
+    HF checkpoint, calibrate, assert cosine >= 0.999 vs the bf16 tower."""
+    from multimeditron_tpu.models.hf_import import load_clip_vision
+
+    path = os.environ.get("MMT_CLIP_CKPT", "/ckpts/clip-vit-large-patch14")
+    cfg, params = load_clip_vision(path, dtype=jnp.bfloat16)
+    pixels = jax.random.uniform(jax.random.PRNGKey(9),
+                                (8, cfg.image_size, cfg.image_size, 3),
+                                jnp.float32, -1.8, 2.2)
+    ref = vit_forward(params, cfg, pixels)
+    scales8 = calibrate_vit_int8_fused(params, cfg, pixels)
+    out = vit_forward_int8_fused(pack_vit_int8_fused(params), cfg, pixels,
+                                 scales8)
+    assert _cosine(out, ref) > 0.999
