@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--static-smax", type=int, default=1,
                     help="use the calibrated static softmax stabilizer "
                          "(scales6 row 3) instead of the row-max reduce")
+    ap.add_argument("--fuse-l", type=int, default=1,
+                    help="denominator from the PV dot's free ones-column "
+                         "lane (static-smax path only)")
     args = ap.parse_args()
 
     import jax
@@ -107,6 +110,7 @@ def main():
             o = qkv_attn_int8(xq.reshape(B, Sp, D), wqkv, ws, qkv_b,
                               scales6, H, S, block_imgs=args.block_imgs,
                               static_smax=args.static_smax,
+                              fuse_l=bool(args.fuse_l),
                               out_dtype=jnp.bfloat16)
             xp, xq2 = oproj_ln_quant(o.reshape(M, D), xres, wo, wo_s, o_b,
                                      lnw, lnb, s, s, 1e-5,
@@ -164,6 +168,7 @@ def main():
             o = qkv_attn_int8(xq.reshape(B, Sp, D), wqkv, ws, qkv_b,
                               scales6, H, S, block_imgs=args.block_imgs,
                               static_smax=args.static_smax,
+                              fuse_l=bool(args.fuse_l),
                               out_dtype=jnp.bfloat16).reshape(M, D)
             return jnp.clip(jnp.round(o.astype(jnp.float32) * 20.0),
                             -127, 127).astype(jnp.int8)

@@ -209,7 +209,9 @@ def vit_forward(
         h = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
         h = _act(cfg.hidden_act, h @ lp["fc1"] + lp["fc1_bias"])
         x = x + (h @ lp["fc2"] + lp["fc2_bias"])
-        return x, None
+        # Pin the residual dtype: mixed-precision params (e.g. the f32
+        # tensors smooth_vit_params folds) must not widen the scan carry.
+        return x.astype(cfg.dtype), None
 
     body = jax.checkpoint(layer) if remat else layer
     x, _ = jax.lax.scan(body, x, params["layers"])

@@ -194,8 +194,10 @@ def _mlp_fused_kernel(xq_ref, xres_ref, w1_ref, w1s_ref, b1_ref,
 
 
 def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
-                     t_scr=None, *,
-                     num_heads: int, kv_len: int, static_smax: bool = False):
+                     aux_scr=None, *,
+                     num_heads: int, kv_len: int, static_smax: bool = False,
+                     fuse_l: bool = False, bf16_qk: bool = False,
+                     store_p: bool = False):
     """Merged QKV projection + int8 encoder attention for G images.
 
     One kernel per layer-half keeps q/k/v entirely in VMEM (never written
@@ -216,7 +218,32 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
     domain): softmax is shift-invariant, so any upper bound works as the
     stabilizer; exp2/f32 keeps full precision as long as a row's true max
     stays within ~120 of the bound (bf16/f32 share the 8-bit exponent).
-    sc_ref rows: [s0, 1/sq, 1/sk, smax*log2(e), sq*sk*sm_scale, unused]."""
+    With ``fuse_l`` (static_smax, non-packed) two further VPU passes over
+    the (H*Sp, Sp) score tensor are deleted:
+
+    - the stabilizer subtraction: scores are stored to scratch already
+      SHIFTED (``acc*a - m`` — one fused multiply-add at store time in the
+      dots phase), so consume opens with a bare exp2;
+    - the row-sum reduction: the PV dot's output tile is 128 lanes wide
+      but each head only uses dh=64 of them — v is staged into a
+      per-image (Sp, H*128) scratch with a ones column at lane dh, so the
+      softmax denominator drops out of the SAME dot in otherwise-idle MXU
+      lanes. Normalizing by the sum of the *bf16-rounded* p (the exact
+      weights the PV dot consumed) is also slightly more faithful than
+      dividing by the f32 sum.
+
+    With ``bf16_qk`` q and k skip the int8 requant and stay bf16: the
+    round-4 ablation probe (benchmarks/attn_floor_probe.py) measured the
+    per-head int8 QK^T dots at ~50 TFLOP/s — a dh=64 contraction fills a
+    quarter of the int8 MXU depth, so int8 is SLOWER than bf16 here (dh=64
+    is half the bf16 depth) while also quantizing two extra activation
+    points. Scores are likewise stored to scratch in bf16 (the probe
+    attributed ~1.1 ms/layer to f32 score convert+store traffic); with the
+    static stabilizer already subtracted at store time the stored values
+    are <= the calibration margin, well inside bf16 range.
+
+    sc_ref rows: [s0, 1/sq, 1/sk, smax*log2(e), sq*sk*sm_scale, unused]
+    (with bf16_qk rows 1-2 are unused and row 4 is sm_scale alone)."""
     G, Sp, D = xq_ref.shape
     dh = D // num_heads
     x2 = xq_ref[:].reshape(G * Sp, D)
@@ -225,8 +252,8 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
     for j in range(3):
         acc = _i8dot(x2, w_ref[j])
         val = acc.astype(jnp.float32) * (ws_ref[j] * s0) + b_ref[j]
-        qkv.append(_quant_f32(val, sc_ref[1 + j, 0]) if j < 2
-                   else val.astype(jnp.bfloat16))
+        qkv.append(val.astype(jnp.bfloat16) if (j == 2 or bf16_qk)
+                   else _quant_f32(val, sc_ref[1 + j, 0]))
     q8, k8, v16 = qkv
     qk_scale = sc_ref[4, 0]
 
@@ -239,8 +266,17 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
     # block holding key rows 256..263 (token 256 + pads) for ALL heads,
     # packed densely as (Sp, H*8) = (264, 128) so the tail's exp2/mask
     # passes cost 1/16th of a score column instead of a full one.
-    packed = static_smax and t_scr is not None
+    packed = (static_smax and aux_scr is not None and not fuse_l
+              and not store_p)
     tail = Sp - 256 if packed else 0
+    fuse_l = fuse_l and static_smax and aux_scr is not None
+    # store_p: the dots phase stores exp2(scores) bf16 (the PV operand)
+    # instead of raw f32 scores — the consume phase's whole
+    # read->exp2->cast->spill chain over the (H*Sp, Sp) tensor disappears;
+    # PV dots read the scratch directly. Requires the static stabilizer
+    # (shift folded into the dots-phase FMA) and the fuse_l denominator
+    # (no f32 p remains to row-sum).
+    store_p = store_p and static_smax and fuse_l
 
     # Scores are written to scratch PRE-SCALED into the base-2 softmax
     # domain and (non-packed path) PRE-MASKED: both passes run in the
@@ -248,6 +284,9 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
     # with the previous image's VPU-bound consume — moving ~2 full VPU
     # passes over the score tensor off the critical path.
     a = qk_scale * 1.4426950408889634
+    # fuse_l: scores land in scratch already shifted by the static
+    # stabilizer (one FMA in the dots phase, overlapped with the MXU).
+    shift = sc_ref[3, 0] if (fuse_l or store_p) else 0.0
     maskrow = None
     if not packed and kv_len < Sp:
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, Sp), 1)
@@ -256,6 +295,12 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
     def dots(g, slot):
         rows = slice(g * Sp, (g + 1) * Sp)
         qg, kg = q8[rows], k8[rows]
+        if fuse_l:
+            vg = v16[rows]
+            ones = jnp.ones((Sp, 1), v16.dtype)
+            for h in range(num_heads):
+                aux_scr[slot, :, h * 128:h * 128 + dh] = vg[:, h * dh:(h + 1) * dh]
+                aux_scr[slot, :, h * 128 + dh:h * 128 + dh + 1] = ones
         for h in range(num_heads):
             sl = slice(h * dh, (h + 1) * dh)
             if packed:
@@ -263,29 +308,67 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
                     qg[:, sl], kg[:256, sl], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 ).astype(jnp.float32) * a
-                t_scr[slot, :, h * tail:(h + 1) * tail] = jax.lax.dot_general(
+                aux_scr[slot, :, h * tail:(h + 1) * tail] = jax.lax.dot_general(
                     qg[:, sl], kg[256:, sl], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 ).astype(jnp.float32) * a
             else:
                 raw = jax.lax.dot_general(
                     qg[:, sl], kg[:, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * a
+                    preferred_element_type=(jnp.float32 if bf16_qk
+                                            else jnp.int32),
+                ).astype(jnp.float32) * a - shift
                 if maskrow is not None:
                     raw = raw + maskrow
-                s_scr[slot, pl.ds(h * Sp, Sp), :] = raw
+                if store_p:
+                    raw = jnp.exp2(raw)
+                s_scr[slot, pl.ds(h * Sp, Sp), :] = raw.astype(s_scr.dtype)
 
     def consume(g, slot):
         vg = v16[g * Sp:(g + 1) * Sp]
         # base-2 softmax: LOG2_E folded into the scalar scale, exp2
         # direct — exactly softmax (2^(x*log2e) = e^x), one fewer VPU
         # pass over the (H*Sp, Sp) scores than exp
+        if store_p:
+            # The scratch already holds bf16 p: consume is ONLY the PV
+            # dots (reading scratch slices as MXU operands) + the tiny
+            # per-head normalize epilogue. No VPU pass touches the
+            # (H*Sp, Sp) tensor in this phase.
+            for h in range(num_heads):
+                acc = jax.lax.dot_general(
+                    s_scr[slot, pl.ds(h * Sp, Sp), :],
+                    aux_scr[slot, :, h * 128:(h + 1) * 128],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                linv = pl.reciprocal(
+                    jnp.maximum(acc[:, dh:dh + 1], 1e-30), approx=True)
+                o_ref[g, :, h * dh:(h + 1) * dh] = (
+                    acc[:, :dh] * linv).astype(o_ref.dtype)
+            return
         sc = s_scr[slot]
+        if fuse_l:
+            # Scores arrive pre-shifted and pre-masked: one exp2 + bf16
+            # cast is the whole softmax numerator pass. The denominator
+            # comes out of the PV dot's ones column (lane dh of each
+            # head's 128-lane group in aux_scr) — no VPU reduction.
+            pb = jnp.exp2(sc).astype(jnp.bfloat16)
+            for h in range(num_heads):
+                acc = jax.lax.dot_general(
+                    pb[h * Sp:(h + 1) * Sp, :],
+                    aux_scr[slot, :, h * 128:(h + 1) * 128],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                linv = pl.reciprocal(
+                    jnp.maximum(acc[:, dh:dh + 1], 1e-30), approx=True)
+                o_ref[g, :, h * dh:(h + 1) * dh] = (
+                    acc[:, :dh] * linv).astype(o_ref.dtype)
+            return
         if packed:
             m = sc_ref[3, 0]
             p = jnp.exp2(sc - m)
-            tc = t_scr[slot]                          # (Sp, H*tail)
+            tc = aux_scr[slot]                        # (Sp, H*tail)
             lane = jax.lax.broadcasted_iota(jnp.int32, tc.shape, 1)
             # lane h*tail + j is key row 256+j of head h: real iff
             # 256 + j < kv_len
@@ -614,26 +697,43 @@ def pack_vit_int8_fused(params: Params) -> Params:
 def qkv_attn_int8(xq3, wq, ws, bias, scales6, num_heads, kv_len,
                   *, out_dtype=jnp.bfloat16, block_imgs: int = 8,
                   static_smax: bool = False, allow_packed: bool = True,
+                  fuse_l: bool = True, bf16_qk: bool = False,
+                  store_p: bool = False,
                   interpret: Optional[bool] = None):
     """xq3 (B, Sp, D) int8 -> attention output (B, Sp, D) bf16, with the
-    QKV projection and int8 attention fused into one kernel."""
+    QKV projection and int8 attention fused into one kernel.
+
+    ``bf16_qk`` (static-smax path): q/k stay bf16 and scores are stored
+    bf16 — the caller must then build scales6 row 4 as sm_scale alone
+    (no sq*sk factor) and rows 1-2 are ignored."""
     B, Sp, D = xq3.shape
     G = block_imgs
     while G > 1 and B % G:
         G //= 2
-    kern = functools.partial(_qkv_attn_kernel, num_heads=num_heads,
-                             kv_len=kv_len, static_smax=static_smax)
-    spec = pl.BlockSpec((G, Sp, D), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
     # Packed-key split (see _qkv_attn_kernel): static-smax sequences a few
     # tokens past 256 lanes split into an aligned 256-lane main block plus
     # a densely head-packed tail — the second scratch's presence enables it.
     packed = allow_packed and static_smax and Sp > 256 and kv_len > 256
+    fuse_l = (fuse_l and static_smax and not packed
+              and D // num_heads < 128)
+    bf16_qk = bf16_qk and static_smax and not packed
+    store_p = store_p and static_smax and fuse_l
+    kern = functools.partial(_qkv_attn_kernel, num_heads=num_heads,
+                             kv_len=kv_len, static_smax=static_smax,
+                             fuse_l=fuse_l, bf16_qk=bf16_qk,
+                             store_p=store_p)
+    spec = pl.BlockSpec((G, Sp, D), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM(
-        (2, num_heads * Sp, 256 if packed else Sp), jnp.float32)]
+        (2, num_heads * Sp, 256 if packed else Sp),
+        jnp.bfloat16 if (bf16_qk or store_p) else jnp.float32)]
     if packed:
         scratch.append(
             pltpu.VMEM((2, Sp, num_heads * (Sp - 256)), jnp.float32))
+    elif fuse_l:
+        # v staged per image as (Sp, H*128): each head's dh columns plus a
+        # ones column at lane dh feeding the free-lane denominator.
+        scratch.append(pltpu.VMEM((2, Sp, num_heads * 128), jnp.bfloat16))
     return pl.pallas_call(
         kern,
         grid=(B // G,),
@@ -707,7 +807,8 @@ def calibrate_vit_int8_fused(
             lambda qk: jnp.max(jnp.einsum("shd,thd->hst", qk[0], qk[1])),
             (qh, kh),
         )) * (Dh ** -0.5)
-        return x, (stats, smax)
+        # f32 smoothed params must not widen the scan carry (cfg.dtype).
+        return x.astype(cfg.dtype), (stats, smax)
 
     _, (stats, smax) = jax.lax.scan(layer, x, params["layers"])
     scales = jnp.maximum(stats * margin / 127.0, 1e-8)  # (L, 7)
@@ -780,7 +881,8 @@ def smooth_vit_params(
         h2 = layer_norm(x, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
         g = _act(cfg.hidden_act, h2 @ lp["fc1"] + lp["fc1_bias"])
         x = x + (g @ lp["fc2"] + lp["fc2_bias"])
-        return x, (camax(h1), camax(q), camax(k), camax(o), camax(h2))
+        return x.astype(cfg.dtype), (camax(h1), camax(q), camax(k),
+                                     camax(o), camax(h2))
 
     _, (c1, qc, kc, oc, c2) = jax.lax.scan(layer, x, params["layers"])
 
@@ -799,17 +901,19 @@ def smooth_vit_params(
         s = s / jnp.exp(jnp.mean(jnp.log(s), axis=-1, keepdims=True))
         return jnp.clip(s, clip[0], clip[1])
 
+    # Folded tensors stay f32: the consumers (pack_vit_int8_fused's int8
+    # quantizer, the kernels' f32 LN math) cast from f32 anyway, and
+    # re-rounding large fold factors through bf16 costs up to ~5e-3
+    # cosine on heavy-outlier towers for nothing.
     def scale_rows(key, s):    # w (L, K, N): rows = input channels
-        lp[key] = (lp[key].astype(jnp.float32) * s[:, :, None]).astype(
-            lp[key].dtype)
+        lp[key] = lp[key].astype(jnp.float32) * s[:, :, None]
 
     def scale_cols(key, bkey, s):  # output channels (and their bias)
-        lp[key] = (lp[key].astype(jnp.float32) * s[:, None, :]).astype(
-            lp[key].dtype)
-        lp[bkey] = (lp[bkey].astype(jnp.float32) * s).astype(lp[bkey].dtype)
+        lp[key] = lp[key].astype(jnp.float32) * s[:, None, :]
+        lp[bkey] = lp[bkey].astype(jnp.float32) * s
 
     def scale_vec(key, s):
-        lp[key] = (lp[key].astype(jnp.float32) * s).astype(lp[key].dtype)
+        lp[key] = lp[key].astype(jnp.float32) * s
 
     # 1. ln1 -> qkv
     s1 = factor(c1, rowmax("q_proj", "k_proj", "v_proj"))
@@ -849,6 +953,25 @@ def vit_forward_int8_fused(
     # img/s at 528 vs 1,340+ at 1056 (fc1's N-blocked grid re-streams
     # w1 per row block: 2x the weight traffic at 528) — keep 1056.
     block_rows: int = 1056,
+    # Round-4 interleaved A/Bs (benchmarks/attn_floor_probe.py for the
+    # isolated kernel, benchmarks/vit_pipeline_ab.py for the pipeline —
+    # cross-process runs drift 10-15% on this chip, so only same-process
+    # round-robin comparisons are trusted):
+    #   fuse_l   — softmax denominator from the PV dot's free output
+    #              lanes (dh=64 of a 128-wide tile): no VPU row-sum.
+    #              Pipeline 1,393 -> 1,446 img/s (+3.8%). DEFAULT ON.
+    #   bf16_qk  — q/k skip the int8 requant; QK^T in bf16 (the dh=64
+    #              int8 dots measure ~50 TFLOP/s) + bf16 score scratch.
+    #              Wins the ISOLATED kernel A/B (-13% with store_p) and
+    #              +2e-4 cosine, but measures -3% in the pipeline.
+    #   store_p  — dots phase stores exp2(scores) bf16, consume phase is
+    #              PV-dots-only. Isolated winner with bf16_qk; pipeline
+    #              -4%. Both kept for the probe record / other shapes.
+    #   attn_block_imgs — G=4 and G=2 tie in-pipeline; G=8 is -5%.
+    bf16_qk: bool = False,
+    fuse_l: bool = True,
+    store_p: bool = False,
+    attn_block_imgs: int = 4,
 ) -> jax.Array:
     """Fused-Pallas twin of ``vit_forward_int8`` (static-scales path)."""
     B = pixel_values.shape[0]
@@ -916,18 +1039,26 @@ def vit_forward_int8_fused(
             # fc1 / fc2 halves as medium kernels — mega-kernels that also
             # swallow the o-proj or the whole MLP measure SLOWER (Mosaic
             # pipelines medium kernels better than one long body).
+            # bf16_qk (static-smax): q/k skip the int8 requant — row 4 is
+            # sm_scale alone, rows 1-2 unused (see qkv_attn_int8).
+            qk4 = (sm_scale * jnp.ones_like(sc[0])
+                   if (static_smax and bf16_qk)
+                   else sc[4] * sc[5] * sm_scale)
             scales6 = jnp.stack([
                 sc[0], 1.0 / sc[4], 1.0 / sc[5],
                 sc[7] * 1.4426950408889634,
-                sc[4] * sc[5] * sm_scale, sc[6] / 127.0,
+                qk4, sc[6] / 127.0,
             ]).reshape(6, 1)
             # allow_packed=False: the packed-key split measured SLOWER in
             # the full pipeline (1,117 vs 1,411 img/s) — the per-head tail
             # dots and masked tail stores cost more than the saved softmax
             # lanes (kernel kept for the probe record; see known_issues).
             o = qkv_attn_int8(xqc.reshape(B, Sp, D), wqkv, wqkv_s, qkv_b,
-                              scales6, cfg.num_heads, S, block_imgs=4,
+                              scales6, cfg.num_heads, S,
+                              block_imgs=attn_block_imgs,
                               static_smax=static_smax, allow_packed=False,
+                              bf16_qk=static_smax and bf16_qk,
+                              fuse_l=fuse_l, store_p=store_p,
                               out_dtype=xc.dtype, interpret=interpret)
             xp, xq2 = oproj_ln_quant(o.reshape(M, D), xc, wo, wo_s[0],
                                      o_b[0], ln2w, ln2b, sc[1], sc[2], eps,
