@@ -61,7 +61,8 @@ def main():
     scales = jax.jit(calibrate_vit_int8_fused, static_argnums=(1,))(
         params, cfg, calib)
 
-    def make(bf16_qk, fuse_l, store_p, block_imgs=4):
+    def make(bf16_qk, fuse_l, store_p, block_imgs=4, int8_o=False,
+             approx_gelu=False, fast_ln=False):
         @jax.jit
         def run(packed, qproj, scales, stack):
             def body(acc, img):
@@ -69,7 +70,8 @@ def main():
                 f = vit_forward_int8_fused(
                     packed, cfg, px, scales, bf16_qk=bf16_qk,
                     fuse_l=fuse_l, store_p=store_p,
-                    attn_block_imgs=block_imgs)
+                    attn_block_imgs=block_imgs, int8_o=int8_o,
+                    approx_gelu=approx_gelu, fast_ln=fast_ln)
                 out = mlp_projector_forward_int8(qproj, f)
                 return acc + jnp.sum(out.astype(jnp.float32)), None
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), stack)
@@ -81,7 +83,11 @@ def main():
         parts = spec.split(":")
         name, a, b, c = parts[:4]
         g = int(parts[4]) if len(parts) > 4 else 4
-        variants[name] = make(bool(int(a)), bool(int(b)), bool(int(c)), g)
+        i8o = bool(int(parts[5])) if len(parts) > 5 else False
+        ag = bool(int(parts[6])) if len(parts) > 6 else False
+        fln = bool(int(parts[7])) if len(parts) > 7 else False
+        variants[name] = make(bool(int(a)), bool(int(b)), bool(int(c)),
+                              g, i8o, ag, fln)
 
     for f in variants.values():
         float(f(packed, qproj, scales, stack))

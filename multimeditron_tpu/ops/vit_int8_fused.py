@@ -72,9 +72,19 @@ def _use_interpret(interpret: Optional[bool]) -> bool:
     return interpret
 
 
-def _ln_f32(x32: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:
+def _ln_f32(x32: jax.Array, w: jax.Array, b: jax.Array, eps: float,
+            moments: bool = False) -> jax.Array:
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    if moments:
+        # One-read variance: E[x^2] - mean^2. The two reductions share a
+        # single pass over x (the two-pass form's second reduction DEPENDS
+        # on the first and cannot overlap it). f32 cancellation costs
+        # ~1e-4 relative on residual-stream magnitudes — below the int8
+        # quantize step this feeds.
+        var = jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mean)
+        var = jnp.maximum(var, 0.0)
+    else:
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     h = (x32 - mean) * jax.lax.rsqrt(var + eps)
     return h * w + b
 
@@ -116,15 +126,19 @@ def _qkv_kernel(x_ref, w_ref, ws_ref, b_ref, s_ref, inv_ref, q_ref, k_ref,
 
 
 def _oproj_ln_kernel(o_ref, xres_ref, w_ref, ws_ref, b_ref, lnw_ref, lnb_ref,
-                     s1_ref, inv_s2_ref, xout_ref, xq_ref, *, eps):
+                     s1_ref, inv_s2_ref, xout_ref, xq_ref, *, eps,
+                     fast_ln=False):
     s1 = s1_ref[0, 0]
-    oq = _quant_f32(o_ref[:].astype(jnp.float32), 1.0 / s1)
+    # int8 o arrives pre-quantized by the attention kernel's epilogue
+    # (same static scale s1): the whole quantize chain is skipped.
+    oq = (o_ref[:] if o_ref.dtype == jnp.int8
+          else _quant_f32(o_ref[:].astype(jnp.float32), 1.0 / s1))
     acc = _i8dot(oq, w_ref[:])
     x32 = (acc.astype(jnp.float32) * (ws_ref[:] * s1) + b_ref[:]
            + xres_ref[:].astype(jnp.float32))
     xout_ref[:] = x32.astype(xout_ref.dtype)
     h = _ln_f32(x32, lnw_ref[:].astype(jnp.float32),
-                lnb_ref[:].astype(jnp.float32), eps)
+                lnb_ref[:].astype(jnp.float32), eps, moments=fast_ln)
     xq_ref[:] = _quant_f32(h, inv_s2_ref[0, 0])
 
 
@@ -132,7 +146,13 @@ def _fc1_kernel(x_ref, w_ref, ws_ref, b_ref, s2_ref, inv_s3_ref, out_ref, *, act
     s2 = s2_ref[0, 0]
     acc = _i8dot(x_ref[:], w_ref[:])
     g32 = acc.astype(jnp.float32) * (ws_ref[:] * s2) + b_ref[:]
-    if act == "quick_gelu":
+    if act == "quick_gelu_approx":
+        # sigmoid via hardware exp2 + approx reciprocal: the exact
+        # sigmoid's divide is the longest VPU op in this epilogue; the
+        # ~2^-8 relative error sits below the int8 quantize step.
+        g32 = g32 * pl.reciprocal(
+            1.0 + jnp.exp2(-2.4554396102104056 * g32), approx=True)
+    elif act == "quick_gelu":
         g32 = g32 * jax.nn.sigmoid(1.702 * g32)
     elif act in ("gelu_pytorch_tanh", "gelu_new"):
         g32 = jax.nn.gelu(g32, approximate=True)
@@ -144,14 +164,15 @@ def _fc1_kernel(x_ref, w_ref, ws_ref, b_ref, s2_ref, inv_s3_ref, out_ref, *, act
 
 
 def _fc2_ln_kernel(h_ref, xres_ref, w_ref, ws_ref, b_ref, lnw_ref, lnb_ref,
-                   s3_ref, inv_s0n_ref, xout_ref, xq_ref, *, eps):
+                   s3_ref, inv_s0n_ref, xout_ref, xq_ref, *, eps,
+                   fast_ln=False):
     s3 = s3_ref[0, 0]
     acc = _i8dot(h_ref[:], w_ref[:])
     x32 = (acc.astype(jnp.float32) * (ws_ref[:] * s3) + b_ref[:]
            + xres_ref[:].astype(jnp.float32))
     xout_ref[:] = x32.astype(xout_ref.dtype)
     h = _ln_f32(x32, lnw_ref[:].astype(jnp.float32),
-                lnb_ref[:].astype(jnp.float32), eps)
+                lnb_ref[:].astype(jnp.float32), eps, moments=fast_ln)
     xq_ref[:] = _quant_f32(h, inv_s0n_ref[0, 0])
 
 
@@ -329,6 +350,15 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
         # base-2 softmax: LOG2_E folded into the scalar scale, exp2
         # direct — exactly softmax (2^(x*log2e) = e^x), one fewer VPU
         # pass over the (H*Sp, Sp) scores than exp
+        # int8 output: the normalize epilogue also quantizes by the
+        # static attention-output scale (sc_ref row 5 = 1/s1), so the
+        # o-proj kernel reads int8 directly and skips its quantize chain
+        # (and the o tensor's HBM round-trip halves).
+        def emit(h, val):
+            if o_ref.dtype == jnp.int8:
+                val = jnp.clip(jnp.round(val * sc_ref[5, 0]), -127, 127)
+            o_ref[g, :, h * dh:(h + 1) * dh] = val.astype(o_ref.dtype)
+
         if store_p:
             # The scratch already holds bf16 p: consume is ONLY the PV
             # dots (reading scratch slices as MXU operands) + the tiny
@@ -343,8 +373,7 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
                 )
                 linv = pl.reciprocal(
                     jnp.maximum(acc[:, dh:dh + 1], 1e-30), approx=True)
-                o_ref[g, :, h * dh:(h + 1) * dh] = (
-                    acc[:, :dh] * linv).astype(o_ref.dtype)
+                emit(h, acc[:, :dh] * linv)
             return
         sc = s_scr[slot]
         if fuse_l:
@@ -362,8 +391,7 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
                 )
                 linv = pl.reciprocal(
                     jnp.maximum(acc[:, dh:dh + 1], 1e-30), approx=True)
-                o_ref[g, :, h * dh:(h + 1) * dh] = (
-                    acc[:, :dh] * linv).astype(o_ref.dtype)
+                emit(h, acc[:, :dh] * linv)
             return
         if packed:
             m = sc_ref[3, 0]
@@ -503,13 +531,14 @@ def qkv_int8(xq, wq, ws, bias, s0, *, out_dtype=jnp.bfloat16,
 
 
 def oproj_ln_quant(o, x_res, wq, ws, bias, ln_w, ln_b, s1, s2, eps,
-                   *, block_rows: int = 1056, interpret: Optional[bool] = None):
+                   *, block_rows: int = 1056, fast_ln: bool = False,
+                   interpret: Optional[bool] = None):
     """x' = x_res + dequant(quant(o) @ wq) + b;  also ln2(x') quantized.
 
     Returns (x' bf16 (M, D), xq2 int8 (M, D))."""
     M, D = o.shape
     bm = _row_block(M, block_rows)
-    kern = functools.partial(_oproj_ln_kernel, eps=eps)
+    kern = functools.partial(_oproj_ln_kernel, eps=eps, fast_ln=fast_ln)
     row = pl.BlockSpec((bm, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -523,7 +552,7 @@ def oproj_ln_quant(o, x_res, wq, ws, bias, ln_w, ln_b, s1, s2, eps,
         ],
         out_specs=(row, row),
         out_shape=(
-            jax.ShapeDtypeStruct((M, D), o.dtype),
+            jax.ShapeDtypeStruct((M, D), x_res.dtype),
             jax.ShapeDtypeStruct((M, D), jnp.int8),
         ),
         compiler_params=_cparams(),
@@ -568,14 +597,15 @@ def fc1_gelu_quant(xq, wq, ws, bias, s2, s3, act, *, block_rows: int = 1056,
 
 
 def fc2_res_ln_quant(hq, x_res, wq, ws, bias, ln_w, ln_b, s3, s0_next, eps,
-                     *, block_rows: int = 1056, interpret: Optional[bool] = None):
+                     *, block_rows: int = 1056, fast_ln: bool = False,
+                     interpret: Optional[bool] = None):
     """x'' = x_res + dequant(hq @ wq) + b; also ln1_next(x'') quantized.
 
     Returns (x'' bf16 (M, D), xq_next int8 (M, D))."""
     M, K = hq.shape
     D = wq.shape[-1]
     bm = _row_block(M, block_rows)
-    kern = functools.partial(_fc2_ln_kernel, eps=eps)
+    kern = functools.partial(_fc2_ln_kernel, eps=eps, fast_ln=fast_ln)
     rowD = pl.BlockSpec((bm, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -972,6 +1002,19 @@ def vit_forward_int8_fused(
     fuse_l: bool = True,
     store_p: bool = False,
     attn_block_imgs: int = 4,
+    # int8_o: the attention epilogue quantizes its output by the static
+    # attn-out scale (calibration col 1), the o-proj kernel consumes the
+    # int8 directly — one quantize chain and half the o HBM round-trip
+    # saved. Requires the fuse_l/store_p epilogue.
+    # Pipeline A/B (vit_pipeline_ab.py): int8_o +1.1%, approx_gelu
+    # +6.2% (fc1's exact-sigmoid divide was the longest VPU chain in the
+    # MLP half); both fidelity-neutral (cosine vs the exact path 0.9998+).
+    int8_o: bool = True,
+    # approx_gelu: quick_gelu's sigmoid via exp2 + approx reciprocal.
+    approx_gelu: bool = True,
+    # fast_ln: one-read LN variance (E[x^2] - mean^2) in the oproj/fc2
+    # epilogues.
+    fast_ln: bool = False,
 ) -> jax.Array:
     """Fused-Pallas twin of ``vit_forward_int8`` (static-scales path)."""
     B = pixel_values.shape[0]
@@ -1044,32 +1087,42 @@ def vit_forward_int8_fused(
             qk4 = (sm_scale * jnp.ones_like(sc[0])
                    if (static_smax and bf16_qk)
                    else sc[4] * sc[5] * sm_scale)
+            # row 5: 1/s1 for the int8-output epilogue (v never leaves
+            # the merged kernel, so the old v-scale slot is free).
+            row5 = (1.0 / sc[1]) if int8_o else (sc[6] / 127.0)
             scales6 = jnp.stack([
                 sc[0], 1.0 / sc[4], 1.0 / sc[5],
                 sc[7] * 1.4426950408889634,
-                qk4, sc[6] / 127.0,
+                qk4, row5,
             ]).reshape(6, 1)
             # allow_packed=False: the packed-key split measured SLOWER in
             # the full pipeline (1,117 vs 1,411 img/s) — the per-head tail
             # dots and masked tail stores cost more than the saved softmax
             # lanes (kernel kept for the probe record; see known_issues).
+            use_int8_o = (int8_o and static_smax and (fuse_l or store_p)
+                          and D // cfg.num_heads < 128)
             o = qkv_attn_int8(xqc.reshape(B, Sp, D), wqkv, wqkv_s, qkv_b,
                               scales6, cfg.num_heads, S,
                               block_imgs=attn_block_imgs,
                               static_smax=static_smax, allow_packed=False,
                               bf16_qk=static_smax and bf16_qk,
                               fuse_l=fuse_l, store_p=store_p,
-                              out_dtype=xc.dtype, interpret=interpret)
+                              out_dtype=(jnp.int8 if use_int8_o
+                                         else xc.dtype),
+                              interpret=interpret)
             xp, xq2 = oproj_ln_quant(o.reshape(M, D), xc, wo, wo_s[0],
                                      o_b[0], ln2w, ln2b, sc[1], sc[2], eps,
-                                     block_rows=block_rows,
+                                     block_rows=block_rows, fast_ln=fast_ln,
                                      interpret=interpret)
+            act = ("quick_gelu_approx"
+                   if (approx_gelu and cfg.hidden_act == "quick_gelu")
+                   else cfg.hidden_act)
             hq = fc1_gelu_quant(xq2, w1, w1_s[0], b1[0], sc[2], sc[3],
-                                cfg.hidden_act, block_rows=block_rows,
+                                act, block_rows=block_rows,
                                 interpret=interpret)
             xn, xqn = fc2_res_ln_quant(hq, xp, w2, w2_s[0], b2[0],
                                        ln1nw, ln1nb, sc[3], s0n, eps,
-                                       block_rows=block_rows,
+                                       block_rows=block_rows, fast_ln=fast_ln,
                                        interpret=interpret)
             return (xn, xqn), None
         q, k, v = qkv_int8(xqc, wqkv, wqkv_s, qkv_b, sc[0],
