@@ -62,7 +62,7 @@ def main():
         params, cfg, calib)
 
     def make(bf16_qk, fuse_l, store_p, block_imgs=4, int8_o=False,
-             approx_gelu=False, fast_ln=False):
+             approx_gelu=False, fast_ln=False, block_rows=1056):
         @jax.jit
         def run(packed, qproj, scales, stack):
             def body(acc, img):
@@ -71,7 +71,8 @@ def main():
                     packed, cfg, px, scales, bf16_qk=bf16_qk,
                     fuse_l=fuse_l, store_p=store_p,
                     attn_block_imgs=block_imgs, int8_o=int8_o,
-                    approx_gelu=approx_gelu, fast_ln=fast_ln)
+                    approx_gelu=approx_gelu, fast_ln=fast_ln,
+                    block_rows=block_rows)
                 out = mlp_projector_forward_int8(qproj, f)
                 return acc + jnp.sum(out.astype(jnp.float32)), None
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), stack)
@@ -86,8 +87,9 @@ def main():
         i8o = bool(int(parts[5])) if len(parts) > 5 else False
         ag = bool(int(parts[6])) if len(parts) > 6 else False
         fln = bool(int(parts[7])) if len(parts) > 7 else False
+        br = int(parts[8]) if len(parts) > 8 else 1056
         variants[name] = make(bool(int(a)), bool(int(b)), bool(int(c)),
-                              g, i8o, ag, fln)
+                              g, i8o, ag, fln, br)
 
     for f in variants.values():
         float(f(packed, qproj, scales, stack))
