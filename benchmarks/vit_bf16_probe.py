@@ -64,11 +64,11 @@ def main():
 
     def timed(fn, *xs):
         r = jax.jit(fn)
-        float(r(*xs))
+        float(r(params, proj, *xs))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(r(*xs))
+            float(r(params, proj, *xs))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -80,8 +80,10 @@ def main():
 
     results = {}
 
-    # full pipeline (bench bf16 path)
-    def full(stack):
+    # full pipeline (bench bf16 path); params/proj are jit ARGS — closing
+    # over them embeds them as constants and blows the remote-compile
+    # payload limit (HTTP 413) on the axon relay
+    def full(params, proj, stack):
         def body(img):
             px = preprocess_images_device(img, cfg.image_size)
             f = vit_forward(params, cfg, px)
@@ -95,7 +97,7 @@ def main():
         results["full_tflops"] = n * (flops_tower + flops_proj) / dt / 1e12
 
     # tower only, Pallas encoder attention
-    def tower(stack):
+    def tower(params, proj, stack):
         def body(img):
             px = preprocess_images_device(img, cfg.image_size)
             return jnp.sum(vit_forward(params, cfg, px).astype(jnp.float32))
@@ -107,7 +109,7 @@ def main():
         results["tower_tflops"] = n * flops_tower / dt / 1e12
 
     # tower with XLA attention (is the Pallas encoder kernel winning?)
-    def tower_xla(stack):
+    def tower_xla(params, proj, stack):
         def body(img):
             px = preprocess_images_device(img, cfg.image_size)
             return jnp.sum(
@@ -120,9 +122,8 @@ def main():
 
     # matmuls only: same layer structure, attention replaced by identity,
     # LN replaced by a scale (keeps shapes; drops VPU cost) -> upper bound
-    lp = params["layers"]
-
-    def tower_mm(stack):
+    def tower_mm(params, proj, stack):
+        lp = params["layers"]
         def body(img):
             px = preprocess_images_device(img, cfg.image_size)
             from multimeditron_tpu.models.vit import patchify
