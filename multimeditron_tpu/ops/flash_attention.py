@@ -124,7 +124,10 @@ def _fwd_kernel(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            s_all.append(s * (sm_scale * LOG2_E))
+            # sm_scale None: q arrived pre-scaled by sm_scale*log2e (the
+            # wrapper folds it in once) — the per-step multiply pass over
+            # every (block_q, block_k) score tile disappears.
+            s_all.append(s if sm_scale is None else s * (sm_scale * LOG2_E))
 
         for a in range(head_pack):
             s = s_all[a]
@@ -176,6 +179,13 @@ def _fwd(q, k, v, kv_mask, causal, sm_scale, offset, block_q, block_k, interpret
     _, Hkv, Skv, _ = k.shape
     group = H // Hkv
     nq, nk = Sq // block_q, Skv // block_k
+
+    # Fold sm_scale*log2e into q once (exact up to one bf16 re-rounding of
+    # q): scores leave the MXU already in the base-2 softmax domain and the
+    # kernel skips a full VPU multiply pass per score tile.
+    if os.environ.get("MMT_FLASH_PRESCALE", "1") != "0":
+        q = (q.astype(jnp.float32) * (sm_scale * LOG2_E)).astype(q.dtype)
+        sm_scale = None
 
     hp, kv_shared = _head_pack(H, group)
     grid = (B, H // hp, nq, nk)
