@@ -59,6 +59,13 @@ class LlamaConfig:
     # (parallel/mesh.py) in context; constraints are skipped silently
     # when no mesh is active.
     sequence_parallel: bool = False
+    # Ring attention over the "sp" axis (ops/ring_attention.py): k/v
+    # shards ppermute around the ring and activations stay
+    # SEQUENCE-sharded inside attention — O(S/n) memory, the
+    # long-context alternative to the Ulysses all-to-all (which needs
+    # every device to hold the full sequence for its head slice).
+    # Requires sequence_parallel=True; training/prefill only.
+    ring_attention: bool = False
     # GPipe pipeline parallelism over the "pp" mesh axis
     # (parallel/pipeline.py): layer stack sharded into `pipeline_parallel`
     # contiguous stages, microbatches flow via ppermute. Training/prefill
@@ -207,6 +214,38 @@ def _sp_constrain(x: jax.Array, *spec) -> jax.Array:
         return x
 
 
+def _ring_attention_sp(q, k, v, kv_mask):
+    """Ring attention over the ambient mesh's "sp" axis (partial-manual
+    shard_map: dp/fsdp/tp stay GSPMD-automatic). Falls back to plain
+    flash attention when no mesh with an "sp" axis is in context (CPU
+    tests, single-chip) — mirroring ``_sp_constrain``'s best-effort
+    contract."""
+    from jax.sharding import PartitionSpec as P
+
+    from multimeditron_tpu.ops.ring_attention import ring_attention
+
+    interp = jax.default_backend() != "tpu"
+    try:
+        specs = P(None, None, "sp", None)
+        in_specs = (specs,) * 3 + (
+            (P(None, "sp"),) if kv_mask is not None else (P(),))
+        mask_args = (kv_mask if kv_mask is not None
+                     else jnp.zeros((), jnp.int32))
+
+        def inner(q, k, v, m):
+            return ring_attention(
+                q, k, v, axis_name="sp", causal=True,
+                kv_mask=(m if kv_mask is not None else None),
+                interpret=interp)
+
+        return jax.shard_map(
+            inner, in_specs=in_specs, out_specs=specs,
+            axis_names={"sp"}, check_vma=False,
+        )(q, k, v, mask_args)
+    except Exception:
+        return attention(q, k, v, kv_mask=kv_mask, causal=True, impl=None)
+
+
 def _proj(h: jax.Array, lp: Params, name: str) -> jax.Array:
     """Projection matmul; dispatches to the weight-only int8 path when
     the params tree was quantized (``models/llama_quant.py``)."""
@@ -249,7 +288,7 @@ def _layer(
     q = q.transpose(0, 2, 1, 3)  # (B,H,S,Dh)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    if sp:
+    if sp and not cfg.ring_attention:
         # Ulysses all-to-all: sequence-sharded -> head-sharded (heads
         # split over tp AND sp inside attention, full sequence visible)
         q = _sp_constrain(q, ("dp", "fsdp"), ("tp", "sp"), None, None)
@@ -325,6 +364,8 @@ def _layer(
             impl=attn_impl,
         )
         new_cache = {"k": ck_all, "v": cv_all}
+    elif sp and cfg.ring_attention:
+        out = _ring_attention_sp(q, k, v, attention_mask)
     else:
         kv_mask = attention_mask
         out = attention(q, k, v, kv_mask=kv_mask, causal=True, impl=attn_impl)
