@@ -153,6 +153,14 @@ def main():
     sweep = []
     if args.load_sweep:
         for offered in [int(x) for x in args.load_sweep.split(",") if x]:
+            # warm this offered load's batch shapes first: a different
+            # arrival count compiles new prefill/decode batch variants,
+            # and an un-warmed point times XLA compilation as "TTFT"
+            # (7-10 s artifacts in the round-4 full bench).
+            warm = [engine.submit(make_request(-20_000 - offered * 100 - i),
+                                  max_new_tokens=4)
+                    for i in range(offered)]
+            engine.run()
             reqs = [engine.submit(make_request(10_000 + offered * 100 + i))
                     for i in range(offered)]
             t0 = time.time()
