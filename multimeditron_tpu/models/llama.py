@@ -214,36 +214,53 @@ def _sp_constrain(x: jax.Array, *spec) -> jax.Array:
         return x
 
 
+def _ambient_mesh():
+    """The mesh installed by an enclosing ``with mesh:`` block (None when
+    absent). Private accessor — JAX keeps the thread-resources env but has
+    no public getter for the legacy ambient mesh."""
+    try:
+        from jax._src.mesh import thread_resources
+
+        m = thread_resources.env.physical_mesh
+        return None if m.empty else m
+    except Exception:  # pragma: no cover - accessor moved between versions
+        return None
+
+
 def _ring_attention_sp(q, k, v, kv_mask):
     """Ring attention over the ambient mesh's "sp" axis (partial-manual
     shard_map: dp/fsdp/tp stay GSPMD-automatic). Falls back to plain
-    flash attention when no mesh with an "sp" axis is in context (CPU
-    tests, single-chip) — mirroring ``_sp_constrain``'s best-effort
-    contract."""
+    flash attention ONLY when no ambient mesh with a non-trivial "sp"
+    axis is in context (CPU tests, single-chip) — that check is explicit,
+    so real errors (bad block sizes, kernel failures, spec bugs) propagate
+    instead of silently losing the O(S/n) memory behavior the flag
+    promises."""
     from jax.sharding import PartitionSpec as P
 
     from multimeditron_tpu.ops.ring_attention import ring_attention
 
-    interp = jax.default_backend() != "tpu"
-    try:
-        specs = P(None, None, "sp", None)
-        in_specs = (specs,) * 3 + (
-            (P(None, "sp"),) if kv_mask is not None else (P(),))
-        mask_args = (kv_mask if kv_mask is not None
-                     else jnp.zeros((), jnp.int32))
-
-        def inner(q, k, v, m):
-            return ring_attention(
-                q, k, v, axis_name="sp", causal=True,
-                kv_mask=(m if kv_mask is not None else None),
-                interpret=interp)
-
-        return jax.shard_map(
-            inner, in_specs=in_specs, out_specs=specs,
-            axis_names={"sp"}, check_vma=False,
-        )(q, k, v, mask_args)
-    except Exception:
+    mesh = _ambient_mesh()
+    if (mesh is None or "sp" not in mesh.axis_names
+            or mesh.shape["sp"] <= 1):
         return attention(q, k, v, kv_mask=kv_mask, causal=True, impl=None)
+
+    interp = jax.default_backend() != "tpu"
+    specs = P(None, None, "sp", None)
+    in_specs = (specs,) * 3 + (
+        (P(None, "sp"),) if kv_mask is not None else (P(),))
+    mask_args = (kv_mask if kv_mask is not None
+                 else jnp.zeros((), jnp.int32))
+
+    def inner(q, k, v, m):
+        return ring_attention(
+            q, k, v, axis_name="sp", causal=True,
+            kv_mask=(m if kv_mask is not None else None),
+            interpret=interp)
+
+    return jax.shard_map(
+        inner, in_specs=in_specs, out_specs=specs,
+        axis_names={"sp"}, check_vma=False,
+    )(q, k, v, mask_args)
 
 
 def _proj(h: jax.Array, lp: Params, name: str) -> jax.Array:

@@ -68,10 +68,14 @@ def _merge(m, w, acc, lse_j, o_j, gate):
     """
     lse_j = jnp.where(gate > 0, lse_j, MASK_VALUE)
     m_new = jnp.maximum(m, lse_j)
-    # fully-empty rows keep m == MASK_VALUE; exp2 of (MASK - MASK) = 1
-    # there, but w stays 0 because both alpha-corrections start from 0.
+    # Rows with no valid key yet keep m == m_new == MASK_VALUE; a naive
+    # exp2(lse_j - m_new) would then be exp2(0) = 1 for a gated/empty
+    # partial, admitting its (ungated-garbage) o_j into acc. Weight only
+    # REAL partials: lse_j > MASK_VALUE/2 means the kernel saw >=1 valid
+    # key (real lse magnitudes are nowhere near -1e38).
     alpha = jnp.exp2(m - m_new)
-    wj = jnp.exp2(lse_j - m_new)
+    wj = jnp.where(lse_j > MASK_VALUE * 0.5,
+                   jnp.exp2(lse_j - m_new), 0.0)
     w_new = w * alpha + wj
     acc_new = acc * alpha[..., :1] + o_j.astype(jnp.float32) * wj[..., :1]
     return m_new, w_new, acc_new
@@ -140,6 +144,15 @@ def _ring_fwd(q, k, v, kv_mask, axis_name, n, causal, sm_scale, block_q,
 def _ring_bwd(axis_name, n, causal, sm_scale, block_q, block_k, interpret,
               res, do):
     q, k, v, kv_mask, out, lse = res
+    # Sanitize rows with NO valid key anywhere (global lse == MASK_VALUE,
+    # e.g. left-padded causal batches): replaying _flash_bwd with that lse
+    # gives p = exp2(s - MASK_VALUE) = inf and NaNs that the dk/dv ring
+    # would spread to every device. Push their lse to +big so p underflows
+    # to exactly 0 in-kernel, and zero their do rows (delta = 0) — those
+    # rows then contribute zero to dq/dk/dv on every shard.
+    dead = lse <= MASK_VALUE * 0.5  # (B, H, L, LANES)
+    lse = jnp.where(dead, jnp.float32(1e30), lse)
+    do = jnp.where(dead[..., :1], 0.0, do).astype(do.dtype)
     idx = lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
     mask0 = (jnp.ones(k.shape[::2], jnp.int32).reshape(k.shape[0], k.shape[2])
@@ -159,15 +172,17 @@ def _ring_bwd(axis_name, n, causal, sm_scale, block_q, block_k, interpret,
         mask_cur = lax.ppermute(mask_cur, axis_name, perm)
         dk_acc = lax.ppermute(dk_acc, axis_name, perm)
         dv_acc = lax.ppermute(dv_acc, axis_name, perm)
-        gate = ((t <= idx).astype(jnp.float32) if causal
-                else jnp.float32(1.0))
+        gate = (t <= idx) if causal else jnp.bool_(True)
         dq_j, dk_j, dv_j = _flash_bwd(
             False, sm_scale, 0, block_q, block_k, interpret,
             (q, k_cur, v_cur,
              mask_cur if kv_mask is not None else None, out, lse), do)[:3]
-        dq_acc = dq_acc + (dq_j.astype(jnp.float32) * gate)
-        dk_acc = dk_acc + (dk_j.astype(jnp.float32) * gate)
-        dv_acc = dv_acc + (dv_j.astype(jnp.float32) * gate)
+        # where-gate, not multiply: a gated shard's replay can contain
+        # inf/NaN (future keys never entered the forward lse) and
+        # 0 * inf = NaN would poison the accumulator.
+        dq_acc = dq_acc + jnp.where(gate, dq_j.astype(jnp.float32), 0.0)
+        dk_acc = dk_acc + jnp.where(gate, dk_j.astype(jnp.float32), 0.0)
+        dv_acc = dv_acc + jnp.where(gate, dv_j.astype(jnp.float32), 0.0)
         return (k_cur, v_cur, mask_cur, dk_acc, dv_acc, dq_acc), None
 
     dq_acc = dq.astype(jnp.float32)

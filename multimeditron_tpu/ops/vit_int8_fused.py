@@ -307,7 +307,11 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
     a = qk_scale * 1.4426950408889634
     # fuse_l: scores land in scratch already shifted by the static
     # stabilizer (one FMA in the dots phase, overlapped with the MXU).
-    shift = sc_ref[3, 0] if (fuse_l or store_p) else 0.0
+    # bf16_qk alone also pre-shifts: its scratch is bf16, and storing
+    # large-magnitude base-2 scores unshifted would burn the 8-bit
+    # mantissa's absolute precision before the consume exp2.
+    pre_shifted = fuse_l or store_p or bf16_qk
+    shift = sc_ref[3, 0] if pre_shifted else 0.0
     maskrow = None
     if not packed and kv_len < Sp:
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, Sp), 1)
@@ -423,7 +427,9 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
                 ).astype(o_ref.dtype)
             return
         if static_smax:
-            m = sc_ref[3, 0]
+            # pre-shifted scratch (bf16_qk reaches here without fuse_l):
+            # the static stabilizer was subtracted at store time already.
+            m = 0.0 if pre_shifted else sc_ref[3, 0]
         else:
             m = jnp.max(sc, axis=-1, keepdims=True)
         p = jnp.exp2(sc - m)
@@ -748,6 +754,15 @@ def qkv_attn_int8(xq3, wq, ws, bias, scales6, num_heads, kv_len,
               and D // num_heads < 128)
     bf16_qk = bf16_qk and static_smax and not packed
     store_p = store_p and static_smax and fuse_l
+    if out_dtype == jnp.int8 and not (fuse_l or store_p):
+        # Only the fuse_l/store_p consume paths run the quantize epilogue
+        # (emit); the packed/generic paths astype() raw bf16-magnitude
+        # values, which would silently truncate to garbage int8.
+        raise ValueError(
+            "qkv_attn_int8: int8 out_dtype requires the fuse_l (or "
+            "store_p, which implies fuse_l) consume path after effective "
+            "flag gating; got effective "
+            f"fuse_l={fuse_l} store_p={store_p} packed={packed}")
     kern = functools.partial(_qkv_attn_kernel, num_heads=num_heads,
                              kv_len=kv_len, static_smax=static_smax,
                              fuse_l=fuse_l, bf16_qk=bf16_qk,
@@ -1099,7 +1114,12 @@ def vit_forward_int8_fused(
             # the full pipeline (1,117 vs 1,411 img/s) — the per-head tail
             # dots and masked tail stores cost more than the saved softmax
             # lanes (kernel kept for the probe record; see known_issues).
-            use_int8_o = (int8_o and static_smax and (fuse_l or store_p)
+            # Mirror qkv_attn_int8's EFFECTIVE gating: store_p is itself
+            # re-gated on fuse_l inside the kernel, so store_p without
+            # fuse_l falls back to a consume path with no quantize
+            # epilogue — int8 output is only legal when effective fuse_l
+            # holds (the kernel asserts the same invariant).
+            use_int8_o = (int8_o and static_smax and fuse_l
                           and D // cfg.num_heads < 128)
             o = qkv_attn_int8(xqc.reshape(B, Sp, D), wqkv, wqkv_s, qkv_b,
                               scales6, cfg.num_heads, S,

@@ -106,6 +106,59 @@ def test_ring_kv_mask_forward():
         atol=2e-3, rtol=2e-2)
 
 
+def test_ring_left_padded_forward_and_grads():
+    """Left-padded causal batch: query rows with ZERO valid keys in every
+    non-gated shard must output exactly 0 forward and contribute finite,
+    reference-matching gradients (regression: gated partials used to
+    enter the merge with weight exp2(0)=1, and the backward replay with
+    global lse == MASK_VALUE produced 0*inf = NaN that the dk/dv ring
+    spread to all devices)."""
+    q, k, v = _inputs(5)
+    pad = 160  # first 160 keys invalid -> causal rows 0..159 fully dead
+    kv_mask = (jnp.arange(S)[None, :] >= pad).astype(jnp.int32)
+    kv_mask = jnp.broadcast_to(kv_mask, (B, S))
+    ref = flash_attention(q, k, v, kv_mask=kv_mask, causal=True,
+                          interpret=True)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=_mesh(),
+        in_specs=(P(None, None, "sp", None),) * 3 + (P(None, "sp"),),
+        out_specs=P(None, None, "sp", None),
+        check_vma=False,
+    )
+    def f(q, k, v, m):
+        return ring_attention(q, k, v, axis_name="sp", causal=True,
+                              kv_mask=m, interpret=True)
+
+    out = f(q, k, v, kv_mask)
+    out_np = np.asarray(out, np.float32)
+    # dead rows (no valid key reachable causally) are exactly zero
+    np.testing.assert_array_equal(out_np[:, :, :pad], 0.0)
+    ref_np = np.asarray(ref, np.float32)
+    np.testing.assert_allclose(out_np[:, :, pad:], ref_np[:, :, pad:],
+                               atol=2e-3, rtol=2e-2)
+
+    g = jnp.asarray(
+        np.random.default_rng(6).normal(size=(B, H, S, D)) * 0.1,
+        jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_mask=kv_mask,
+                                       causal=True, interpret=True) * g)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(f(q, k, v, kv_mask) * g)
+
+    r_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    r_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(r_ring, r_ref, "qkv"):
+        a_np, b_np = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.isfinite(a_np).all(), f"d{name} has non-finite entries"
+        np.testing.assert_allclose(a_np, b_np, atol=5e-3, rtol=5e-2,
+                                   err_msg=f"d{name}")
+
+
 def test_ring_gqa_forward():
     rng = np.random.default_rng(3)
     Hkv = 1

@@ -279,7 +279,8 @@ def test_fused_outlier_channel_fidelity():
     # large fold factors through bf16 cost ~5e-3 cosine here); the
     # residual ~2e-3 is bf16-vs-f32 matmul precision of the two forwards,
     # not fold error
-    assert _cosine(vit_forward(sm, cfg, pixels), ref) > 0.997
+    # pinned near the measured 0.9985: catches few-1e-3 fold regressions
+    assert _cosine(vit_forward(sm, cfg, pixels), ref) > 0.9975
     out = vit_forward_int8_fused(pack_vit_int8_fused(sm), cfg, pixels,
                                  calibrate_vit_int8_fused(sm, cfg, pixels))
     cos = _cosine(out, ref)
@@ -289,7 +290,9 @@ def test_fused_outlier_channel_fidelity():
     # ~7e-3 even after exact migration — margin sweep (1.1 -> 0.3)
     # showed clipping only hurts, so the loss is plain round-off of the
     # widened per-tensor ranges, not the calibration rule.
-    assert cos > 0.99, f"smoothed {cos} (raw {raw_cos})"
+    # pinned near the measured floor (0.9925 TPU / 0.9981 CPU interpret)
+    # so a few-1e-3 genuine int8-path regression still fails the test
+    assert cos > 0.992, f"smoothed {cos} (raw {raw_cos})"
     assert cos > raw_cos + 0.005  # smoothing must actually help here
 
 
