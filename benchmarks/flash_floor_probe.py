@@ -1,0 +1,288 @@
+"""Flash-attention forward floor probe (attn_floor_probe methodology).
+
+The committed fwd kernel measures ~105 TFLOP/s at S=4096 D=128 while a
+dots-only pipeline of the same geometry measures 160.9 (STATUS round 2).
+This probe attributes that gap per stage by timing ABLATED variants of
+the same kernel, interleaved in ONE process (cross-process runs on the
+relay drift 10-15%):
+
+  full        — the real committed kernel (ops/flash_attention._fwd)
+  diag_split  — candidate fix: the causal mask is built/applied ONLY on
+                blocks that intersect the diagonal; fully-below-diagonal
+                blocks (60% of executed tiles at 1024-blocks) skip the
+                iota mask construction and the where pass (CORRECT — the
+                mask is all-ones there; adoptable if it wins)
+  nomask      — no mask built or applied anywhere (wrong result; the
+                mask stage's total marginal cost)
+  noexp       — exp2 replaced by identity (wrong result; exp2 marginal)
+  nomaxsum    — no running max/sum chain: p = exp2(s), acc += PV
+                (wrong result; the m/l chain's marginal cost)
+  dots        — QK dot -> cast -> PV dot only (the floor)
+
+All variants share grid/blocks/specs with the real kernel (hp=2 head
+packing, 1024x1024 blocks, causal remap). Reported TFLOP/s uses the
+causal convention (4*B*H*S^2*D/2), RT-corrected, min-of-N.
+
+Usage: python benchmarks/flash_floor_probe.py [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _probe_kernel(
+    q_ref, k_ref, v_ref,
+    o_ref, lse_ref,
+    m_scr, l_scr, acc_scr,
+    *, block_q, block_k, head_pack, variant,
+):
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+
+    from multimeditron_tpu.ops.flash_attention import (
+        MASK_VALUE, _below_or_on_diag,
+    )
+
+    iq, ik = pl.program_id(2), pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    should_run = _below_or_on_diag(iq, block_q, ik, block_k, 0)
+
+    def compute(masked: bool):
+        mask = None
+        if masked:
+            q_pos = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            k_pos = lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = (q_pos + iq * block_q) >= (k_pos + ik * block_k)
+
+        s_all = []
+        for a in range(head_pack):
+            q = q_ref[0, a]
+            k = k_ref[0, a]
+            s = lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s_all.append(s)
+
+        for a in range(head_pack):
+            s = s_all[a]
+            if mask is not None:
+                s = jnp.where(mask, s, MASK_VALUE)
+            v = v_ref[0, a]
+            if variant == "dots":
+                acc_scr[a] += lax.dot_general(
+                    s.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                continue
+            if variant == "nomaxsum":
+                p = jnp.exp2(s * 1e-4)  # bounded junk, keeps the exp2 pass
+                acc_scr[a] += lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                continue
+            m_prev = m_scr[a]
+            l_prev = l_scr[a]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            if variant == "noexp":
+                p = s - m_next[:, :1]  # same shape/width pass, no exp2
+            else:
+                p = jnp.exp2(s - m_next[:, :1])
+            alpha = jnp.exp2(m_prev - m_next)
+            l_corr = alpha * l_prev
+            l_next = jnp.sum(p, axis=1)[:, None] + l_corr
+            m_scr[a] = m_next
+            l_scr[a] = l_next
+            acc_scr[a] = acc_scr[a] * alpha[:, :1] + lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    if variant == "diag_split":
+        # a block is fully below the diagonal iff its LAST key position
+        # is <= its FIRST query position
+        full_valid = (iq * block_q) >= ((ik + 1) * block_k - 1)
+
+        @pl.when(should_run & full_valid)
+        def _unmasked():
+            compute(False)
+
+        @pl.when(should_run & jnp.logical_not(full_valid))
+        def _masked():
+            compute(True)
+    else:
+
+        @pl.when(should_run)
+        def _one():
+            compute(variant not in ("nomask", "dots", "nomaxsum", "noexp"))
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        for a in range(head_pack):
+            l = l_scr[a]
+            m = m_scr[a]
+            l_safe = jnp.maximum(l, 1e-30)
+            o = acc_scr[a] / l_safe[:, :1]
+            o = jnp.where(l[:, :1] > 0, o, 0.0)
+            o_ref[0, a] = o.astype(o_ref.dtype)
+            lse = jnp.where(l > 0, m + jnp.log2(l_safe), MASK_VALUE)
+            lse_ref[0, a] = lse.astype(lse_ref.dtype)
+
+
+def build_variant(variant, B, H, S, D, block_q, block_k):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from multimeditron_tpu.ops.flash_attention import (
+        LANES, _below_or_on_diag,
+    )
+    from jax import lax
+
+    hp = 2
+    nq, nk = S // block_q, S // block_k
+    grid = (B, H // hp, nq, nk)
+
+    def remap_k(iq, ik):
+        return lax.select(
+            _below_or_on_diag(iq, block_q, ik, block_k, 0), ik, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, hp, block_q, D), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, hp, block_k, D),
+                     lambda b, h, iq, ik: (b, h, remap_k(iq, ik), 0)),
+        pl.BlockSpec((1, hp, block_k, D),
+                     lambda b, h, iq, ik: (b, h, remap_k(iq, ik), 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, hp, block_q, D), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, hp, block_q, LANES),
+                     lambda b, h, iq, ik: (b, h, iq, 0)),
+    ]
+    kern = functools.partial(
+        _probe_kernel, block_q=block_q, block_k=block_k, head_pack=hp,
+        variant=variant)
+    fn = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, S, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, H, S, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hp, block_q, LANES), jnp.float32),
+            pltpu.VMEM((hp, block_q, LANES), jnp.float32),
+            pltpu.VMEM((hp, block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+    return fn
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--json", action="store_true")
+    parser.add_argument("--s", type=int, default=4096)
+    parser.add_argument("--d", type=int, default=128)
+    parser.add_argument("--reps", type=int, default=4)
+    parser.add_argument("--iters", type=int, default=16)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimeditron_tpu.ops.flash_attention import flash_attention
+
+    B, H, S, D = 4, 32, args.s, args.d
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)) * 0.3, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)) * 0.3, jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)) * 0.3, jnp.bfloat16)
+    FL = 4 * B * H * S * S * D / 2 * args.iters
+
+    variants = ["full", "diag_split", "nomask", "noexp", "nomaxsum", "dots"]
+    fns = {}
+    for name in variants:
+        if name == "full":
+            def run(q, k, v):
+                def body(c, _):
+                    o = flash_attention(q + c, k, v, causal=True)
+                    return c + o[0, 0, 0, :8].astype(
+                        jnp.float32).sum() * 1e-30, None
+                return jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                    length=args.iters)[0]
+        else:
+            inner = build_variant(name, B, H, S, D, 1024, 1024)
+
+            def run(q, k, v, _inner=inner):
+                def body(c, _):
+                    o, _lse = _inner(q + c, k, v)
+                    return c + o[0, 0, 0, :8].astype(
+                        jnp.float32).sum() * 1e-30, None
+                return jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                    length=args.iters)[0]
+        fns[name] = jax.jit(run)
+        float(fns[name](q, k, v))  # compile + warm
+
+    # correctness gate for the adoptable variant: diag_split must MATCH
+    from multimeditron_tpu.ops.flash_attention import _fwd
+    o_ref, _ = _fwd(q, k, v, None, True, float(D) ** -0.5, 0, 1024, 1024,
+                    False)
+    qs = (q.astype(jnp.float32) * (D ** -0.5 * 1.4426950408889634)).astype(
+        jnp.bfloat16)
+    o_ds, _ = build_variant("diag_split", B, H, S, D, 1024, 1024)(qs, k, v)
+    err = float(jnp.max(jnp.abs(o_ds.astype(jnp.float32)
+                                - o_ref.astype(jnp.float32))))
+    diag_ok = err < 2e-2
+
+    best = {name: float("inf") for name in variants}
+    for _ in range(args.reps):
+        for name in variants:
+            t0 = time.perf_counter()
+            float(fns[name](q, k, v))
+            best[name] = min(best[name], time.perf_counter() - t0)
+
+    rt = 0.030
+    res = {name: FL / max(best[name] - rt, 1e-9) / 1e12
+           for name in variants}
+    out = {"metric": "flash_floor_probe", "s": S, "d": D,
+           "diag_split_max_err": round(err, 5), "diag_split_correct": diag_ok,
+           **{f"{name}_tflops": round(v_, 1) for name, v_ in res.items()}}
+    if args.json:
+        print(json.dumps(out))
+    else:
+        for name in variants:
+            print(f"  {name:11s}: {res[name]:6.1f} TFLOP/s")
+        print(f"  diag_split max err vs committed: {err:.2e} "
+              f"({'OK' if diag_ok else 'MISMATCH'})")
+
+
+if __name__ == "__main__":
+    main()

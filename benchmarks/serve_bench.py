@@ -36,6 +36,15 @@ def main():
                         help="Comma list of offered request counts (e.g. "
                              "4,8,16,32): after the main sessions, measure "
                              "TTFT at each offered load on the same engine")
+    parser.add_argument("--w8a8-prefill", action="store_true",
+                        help="int8-activation prefill for the quantized "
+                             "LLM (2.5x the bf16-dequant prefill rate; "
+                             "implies --quantize-llm)")
+    parser.add_argument("--prefill-group-cap", type=int, default=0,
+                        help="Staggered admission: at most this many "
+                             "requests per batched prefill call, one group "
+                             "per engine step (0 = admit everything at "
+                             "once, the pre-round-5 behavior)")
     parser.add_argument("--kv-mode", choices=("paged", "slab"), default="paged")
     parser.add_argument("--decode-chunk", type=int, default=8)
     parser.add_argument("--quantize-llm", action="store_true")
@@ -104,6 +113,7 @@ def main():
             kv_mode=args.kv_mode,
             decode_chunk=args.decode_chunk,
             quantize_llm=args.quantize_llm,
+            prefill_group_cap=args.prefill_group_cap or None,
         ),
     )
 
@@ -136,15 +146,37 @@ def main():
         reqs = [engine.submit(make_request(s * args.requests + i))
                 for i in range(args.requests)]
         t0 = time.time()
-        engine.run()
+        # Drive step-by-step so the decode PHASE is timed separately:
+        # ``decode_tok_per_sec`` divides by the whole session wall
+        # (including prefill), which at 8B is dominated by the ~2 s
+        # fleet prefill — steady_decode_tok_per_sec isolates the pure
+        # decode steps (queue already empty at entry), the number the
+        # weight-stream roofline bounds.
+        steady_time = 0.0
+        steady_tokens = 0
+        while True:
+            queue_before = len(engine.queue)
+            tok_before = sum(len(r.tokens) for r in reqs)
+            ts = time.time()
+            more = engine.step()
+            dt_step = time.time() - ts
+            if queue_before == 0:
+                steady_time += dt_step
+                steady_tokens += sum(len(r.tokens) for r in reqs) - tok_before
+            if not more:
+                break
         wall = time.time() - t0
         ttfts = sorted(r.ttft for r in reqs)
         total_tokens = sum(len(r.tokens) for r in reqs)
+        prefill_wall = max(r.first_token_time for r in reqs) - t0
         sessions.append({
             "ttft_p50_ms": ttfts[len(ttfts) // 2] * 1000,
             "ttft_p95_ms": ttfts[int(len(ttfts) * 0.95)] * 1000,
+            "prefill_wall_ms": prefill_wall * 1000,
             "tok_per_sec": total_tokens / wall,
             "decode_tok_per_sec": (total_tokens - len(reqs)) / wall,
+            "steady_decode_tok_per_sec": (
+                steady_tokens / steady_time if steady_time > 0 else 0.0),
         })
 
     # TTFT-vs-offered-load sweep: the <300 ms claim should hold (or degrade

@@ -97,6 +97,7 @@ def train(ctx, config: str, seed: int = 0, resume: bool = False):
         fsdp=mesh_cfg.get("fsdp"),
         tp=mesh_cfg.get("tp", 1),
         sp=mesh_cfg.get("sp", 1),
+        ring_attention=mesh_cfg.get("ring_attention", False),
         ep=mesh_cfg.get("ep", 1),
         pp=mesh_cfg.get("pp", 1),
         pp_microbatches=mesh_cfg.get("pp_microbatches"),

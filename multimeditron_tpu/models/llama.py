@@ -74,6 +74,13 @@ class LlamaConfig:
     # one microbatch per stage).
     pipeline_parallel: int = 1
     pipeline_microbatches: Optional[int] = None
+    # W8A8 prefill (quantized serving trees only): when the params carry
+    # int8 weights AND the call processes >= w8a8_min_rows token rows
+    # (prefill; decode's M = slots stays below), activations quantize
+    # per-row to int8 ONCE per site and the projections run int8 x int8
+    # -> int32 — measured 2.5-2.7x the bf16 dequant rate at 8B prefill
+    # shapes (benchmarks/w8a8_probe.py / actquant_probe.py). 0 disables.
+    w8a8_min_rows: int = 0
     dtype: Any = jnp.bfloat16
 
     @property
@@ -215,9 +222,18 @@ def _sp_constrain(x: jax.Array, *spec) -> jax.Array:
 
 
 def _ambient_mesh():
-    """The mesh installed by an enclosing ``with mesh:`` block (None when
-    absent). Private accessor — JAX keeps the thread-resources env but has
-    no public getter for the legacy ambient mesh."""
+    """The mesh in context via EITHER API — ``jax.set_mesh(mesh)`` (the
+    abstract mesh, visible inside jit traces) or the legacy ``with
+    mesh:`` block (thread-resources env; private accessor, JAX has no
+    public getter for it). None when neither is active. Checking both is
+    load-bearing: a first cut only read thread_resources and silently
+    fell back to full attention under set_mesh."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        if am is not None and am.axis_names:
+            return am
+    except Exception:  # pragma: no cover - API moved between versions
+        pass
     try:
         from jax._src.mesh import thread_resources
 
@@ -257,20 +273,49 @@ def _ring_attention_sp(q, k, v, kv_mask):
             kv_mask=(m if kv_mask is not None else None),
             interpret=interp)
 
+    # Pass the mesh explicitly: shard_map's axis_names-only form needs a
+    # jax.set_mesh context, but the trainer enters the LEGACY `with
+    # mesh:` context — the discovered mesh covers both.
     return jax.shard_map(
-        inner, in_specs=in_specs, out_specs=specs,
-        axis_names={"sp"}, check_vma=False,
+        inner, mesh=mesh, in_specs=in_specs, out_specs=specs,
+        check_vma=False,
     )(q, k, v, mask_args)
 
 
-def _proj(h: jax.Array, lp: Params, name: str) -> jax.Array:
+def _proj(h: jax.Array, lp: Params, name: str, act_q=None) -> jax.Array:
     """Projection matmul; dispatches to the weight-only int8 path when
-    the params tree was quantized (``models/llama_quant.py``)."""
+    the params tree was quantized (``models/llama_quant.py``). With
+    ``act_q`` = (int8 rows, f32 per-row scales) the projection runs the
+    W8A8 int8 x int8 dot instead (compute-bound prefill; the caller
+    quantizes each activation once and shares it across projections)."""
     if name + "_q" in lp:
+        if act_q is not None:
+            from multimeditron_tpu.ops.wo_matmul import w8a8_matmul
+
+            return w8a8_matmul(act_q[0], act_q[1], lp[name + "_q"],
+                               lp[name + "_s"], h.dtype)
         from multimeditron_tpu.ops.wo_matmul import wo_matmul
 
         return wo_matmul(h, lp[name + "_q"], lp[name + "_s"])
     return h @ lp[name]
+
+
+def _maybe_quantize_act(h: jax.Array, lp: Params, cfg: LlamaConfig,
+                        probe_name: str = "q_proj"):
+    """(q, s) for the W8A8 prefill path, or None when it doesn't apply:
+    needs cfg.w8a8_min_rows > 0, a quantized params tree, and at least
+    that many token rows (static shape — decode's M = slots stays on
+    the weight-read-bound W8A16 path)."""
+    if not cfg.w8a8_min_rows or probe_name + "_q" not in lp:
+        return None
+    rows = 1
+    for d in h.shape[:-1]:
+        rows *= d
+    if rows < cfg.w8a8_min_rows:
+        return None
+    from multimeditron_tpu.ops.wo_matmul import quantize_rows
+
+    return quantize_rows(h)
 
 
 def _layer(
@@ -296,9 +341,11 @@ def _layer(
     if sp:
         x = _sp_constrain(x, ("dp", "fsdp"), "sp", None)
     h = rms_norm(x, layer_params["input_norm"], cfg.rms_norm_eps)
-    q = _proj(h, layer_params, "q_proj").reshape(B, S, H, Dh)
-    k = _proj(h, layer_params, "k_proj").reshape(B, S, Hkv, Dh)
-    v = _proj(h, layer_params, "v_proj").reshape(B, S, Hkv, Dh)
+    # W8A8 prefill: quantize h once, share across the q/k/v dots
+    hq = _maybe_quantize_act(h, layer_params, cfg)
+    q = _proj(h, layer_params, "q_proj", hq).reshape(B, S, H, Dh)
+    k = _proj(h, layer_params, "k_proj", hq).reshape(B, S, Hkv, Dh)
+    v = _proj(h, layer_params, "v_proj", hq).reshape(B, S, Hkv, Dh)
     if cfg.use_qk_norm:
         q = rms_norm(q, layer_params["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer_params["k_norm"], cfg.rms_norm_eps)
@@ -391,13 +438,15 @@ def _layer(
     if sp:
         # back to sequence sharding for the MLP/residual stream
         out = _sp_constrain(out, ("dp", "fsdp"), "sp", None)
-    x = x + _proj(out, layer_params, "o_proj")
+    x = x + _proj(out, layer_params, "o_proj",
+                  _maybe_quantize_act(out, layer_params, cfg, "o_proj"))
 
     h = rms_norm(x, layer_params["post_attn_norm"], cfg.rms_norm_eps)
-    up = _proj(h, layer_params, "up_proj").astype(jnp.float32)
+    hq2 = _maybe_quantize_act(h, layer_params, cfg, "up_proj")
+    up = _proj(h, layer_params, "up_proj", hq2).astype(jnp.float32)
     if cfg.mlp_gate:
         gate = jax.nn.silu(
-            _proj(h, layer_params, "gate_proj").astype(jnp.float32)
+            _proj(h, layer_params, "gate_proj", hq2).astype(jnp.float32)
         )
         act = gate * up
     elif cfg.hidden_act == "xielu":
@@ -408,7 +457,9 @@ def _layer(
         )
     else:
         act = getattr(jax.nn, cfg.hidden_act)(up)
-    x = x + _proj(act.astype(h.dtype), layer_params, "down_proj")
+    act = act.astype(h.dtype)
+    x = x + _proj(act, layer_params, "down_proj",
+                  _maybe_quantize_act(act, layer_params, cfg, "down_proj"))
     return x, new_cache
 
 
@@ -518,14 +569,7 @@ def llama_forward(
         new_caches = cache_carry
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    if "lm_head_q" in params:
-        from multimeditron_tpu.ops.wo_matmul import wo_matmul
-
-        logits = wo_matmul(x, params["lm_head_q"], params["lm_head_s"])
-    elif cfg.tie_word_embeddings:
-        logits = x @ params["embed_tokens"].T
-    else:
-        logits = x @ params["lm_head"]
+    logits = lm_head_logits(params, cfg, x)
 
     new_kv_cache = None
     if kv_cache is not None:
@@ -539,6 +583,21 @@ def llama_forward(
     if return_hidden:
         return logits, new_kv_cache, x
     return logits, new_kv_cache
+
+
+def lm_head_logits(params: Params, cfg: LlamaConfig, x: jax.Array) -> jax.Array:
+    """Vocab projection of (final-normed) hidden states. Exposed so the
+    serving prefill can project ONLY each request's last position —
+    projecting every prompt position at 8B scale (8192 tokens x 128k
+    vocab) costs ~60 ms of pure throwaway lm_head work per 16-request
+    group (the decode path needs just the last logits)."""
+    if "lm_head_q" in params:
+        from multimeditron_tpu.ops.wo_matmul import wo_matmul
+
+        return wo_matmul(x, params["lm_head_q"], params["lm_head_s"])
+    if cfg.tie_word_embeddings:
+        return x @ params["embed_tokens"].T
+    return x @ params["lm_head"]
 
 
 def embed_tokens(params: Params, input_ids: jax.Array) -> jax.Array:

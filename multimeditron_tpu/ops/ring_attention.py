@@ -201,6 +201,280 @@ def _ring_bwd(axis_name, n, causal, sm_scale, block_q, block_k, interpret,
 _ring.defvjp(_ring_fwd, _ring_bwd)
 
 
+# ======================================================================
+# Zigzag layout: reclaim the gated-future-shard FLOPs
+# ======================================================================
+# Plain-ring causal attention computes every visiting shard and GATES
+# future ones to zero weight, so each of the n steps costs one full
+# shard-pair attention on some device while the gated devices idle in
+# the collective — up to 2x the causal-optimal FLOPs. The zigzag layout
+# splits the sequence into 2n chunks and gives device i chunks
+# (i, 2n-1-i): at every ring step EVERY device then has exactly two
+# live chunk-pairs (one unconditional, one picked by a lax.cond on the
+# rank comparison), each 1/4 the shard-pair work — total 2 * C^2 per
+# step vs 4 * C^2 for the plain ring, i.e. the causal-optimal schedule
+# with perfect load balance. Requires an even ring size (odd n falls
+# back to the plain ring).
+
+
+def _zig_perms(n: int):
+    """(perm_a, perm_b) moving local contiguous chunk slots 0/1 into the
+    zigzag layout. Contiguous: device i holds global chunks (2i, 2i+1);
+    zigzag: device d holds (d, 2n-1-d). Receiver parity decides which
+    incoming array is its slot 0 (even: perm_a's) vs slot 1."""
+    perm_a = [(i, 2 * i) if i < n // 2 else (i, 2 * n - 1 - 2 * i)
+              for i in range(n)]
+    perm_b = [(i, 2 * i + 1) if i < n // 2 else (i, 2 * n - 2 - 2 * i)
+              for i in range(n)]
+    return perm_a, perm_b
+
+
+def _zig_relayout(x, axis_name, n, axis=-2):
+    """Contiguous -> zigzag chunk relayout along ``axis``."""
+    C = x.shape[axis] // 2
+    lo = lax.slice_in_dim(x, 0, C, axis=axis)
+    hi = lax.slice_in_dim(x, C, 2 * C, axis=axis)
+    perm_a, perm_b = _zig_perms(n)
+    a = lax.ppermute(lo, axis_name, perm_a)
+    b = lax.ppermute(hi, axis_name, perm_b)
+    even = (lax.axis_index(axis_name) % 2) == 0
+    zlo = jnp.where(even, a, b)
+    zhi = jnp.where(even, b, a)
+    return zlo, zhi
+
+
+def _zig_unlayout(zlo, zhi, axis_name, n, axis=-2):
+    """Zigzag -> contiguous inverse relayout: four half-permutations
+    (a ppermute is one-to-one, and each zig slot fans out to both
+    contiguous slots depending on the sender's parity); non-destination
+    devices receive zeros, so the pair of halves just adds."""
+    def half(x, pairs):
+        return lax.ppermute(x, axis_name, pairs)
+
+    ne = [j for j in range(n) if j % 2 == 0]
+    no = [j for j in range(n) if j % 2 == 1]
+    # zig slot0 of device j holds global chunk j -> contiguous device
+    # j//2, slot j%2; zig slot1 holds chunk 2n-1-j -> device (2n-1-j)//2,
+    # slot (2n-1-j)%2.
+    lo = (half(zlo, [(j, j // 2) for j in ne])
+          + half(zhi, [(j, n - (j + 1) // 2) for j in no]))
+    hi = (half(zlo, [(j, j // 2) for j in no])
+          + half(zhi, [(j, n - 1 - j // 2) for j in ne]))
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
+def _zig_pair(q, k, v, mask, sm_scale, block_q, block_k,
+              interpret, causal):
+    o, lse = _fwd(q, k, v, mask, causal, sm_scale,
+                  0, block_q, block_k, interpret)
+    return o, lse
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
+)
+def _zig(q, k, v, kv_mask, axis_name, n, sm_scale, block_q, block_k,
+         interpret):
+    out, _ = _zig_fwd(q, k, v, kv_mask, axis_name, n, sm_scale, block_q,
+                      block_k, interpret)
+    return out
+
+
+def _zig_fwd(q, k, v, kv_mask, axis_name, n, sm_scale, block_q, block_k,
+             interpret):
+    B, H, L, D = q.shape
+    idx = lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    q_lo, q_hi = _zig_relayout(q, axis_name, n)
+    k_lo, k_hi = _zig_relayout(k, axis_name, n)
+    v_lo, v_hi = _zig_relayout(v, axis_name, n)
+    # absent mask -> all-ones placeholder: it rides the ring and feeds
+    # both fwd and bwd uniformly (a ZEROS placeholder would read as
+    # "every key invalid" in the backward replay)
+    mask_full = (jnp.ones((B, L), jnp.int32) if kv_mask is None
+                 else kv_mask.astype(jnp.int32))
+    m_lo, m_hi = _zig_relayout(mask_full, axis_name, n, axis=-1)
+
+    C = L // 2
+    pair = functools.partial(
+        _zig_pair, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, interpret=interpret)
+
+    def fresh():
+        return (jnp.full((B, H, C, LANES), MASK_VALUE, jnp.float32),
+                jnp.zeros((B, H, C, LANES), jnp.float32),
+                jnp.zeros((B, H, C, D), jnp.float32))
+
+    acc_lo, acc_hi = fresh(), fresh()
+    one = jnp.float32(1.0)
+
+    # step 0: local chunks — lo diag (causal), hi vs lo (full), hi diag.
+    o, lse = pair(q_lo, k_lo, v_lo, m_lo, causal=True)
+    acc_lo = _merge(*acc_lo, lse, o, one)
+    o, lse = pair(q_hi, k_lo, v_lo, m_lo, causal=False)
+    acc_hi = _merge(*acc_hi, lse, o, one)
+    o, lse = pair(q_hi, k_hi, v_hi, m_hi, causal=True)
+    acc_hi = _merge(*acc_hi, lse, o, one)
+
+    def step(carry, t):
+        k_lo, v_lo, m_lo, k_hi, v_hi, m_hi, acc_lo, acc_hi = carry
+        k_lo, v_lo, m_lo, k_hi, v_hi, m_hi = (
+            lax.ppermute(a, axis_name, perm)
+            for a in (k_lo, v_lo, m_lo, k_hi, v_hi, m_hi))
+        # the visiting shard belongs to device j = idx - t (mod n),
+        # holding global chunks (j, 2n-1-j)
+        # unconditional pair: q_hi (chunk 2n-1-idx) vs visiting lo
+        # (chunk j < n <= 2n-1-idx): always causally live, full kernel.
+        o2, lse2 = pair(q_hi, k_lo, v_lo, m_lo, causal=False)
+        acc_hi_n = _merge(*acc_hi, lse2, o2, one)
+        # conditional pair, balanced by construction: exactly one of
+        # {q_lo vs visiting-lo (j < idx), q_hi vs visiting-hi (j > idx)}
+        # is live — lax.cond executes only the live kernel.
+        sel = t <= idx  # j = idx - t >= 0 (no wraparound) => j < idx
+
+        def lo_branch(_):
+            return pair(q_lo, k_lo, v_lo, m_lo, causal=False)
+
+        def hi_branch(_):
+            return pair(q_hi, k_hi, v_hi, m_hi, causal=False)
+
+        oc, lsec = lax.cond(sel, lo_branch, hi_branch, None)
+        g = sel.astype(jnp.float32)
+        acc_lo_n = _merge(*acc_lo, lsec, oc, g)
+        acc_hi_n = _merge(*acc_hi_n, lsec, oc, one - g)
+        return (k_lo, v_lo, m_lo, k_hi, v_hi, m_hi,
+                acc_lo_n, acc_hi_n), None
+
+    if n > 1:
+        (k_lo, v_lo, m_lo, k_hi, v_hi, m_hi, acc_lo, acc_hi), _ = lax.scan(
+            step, (k_lo, v_lo, m_lo, k_hi, v_hi, m_hi, acc_lo, acc_hi),
+            jnp.arange(1, n))
+
+    def finish(m, w, acc):
+        w_safe = jnp.maximum(w, 1e-30)
+        out = jnp.where(w[..., :1] > 0, acc / w_safe[..., :1], 0.0)
+        lse = jnp.where(w > 0, m + jnp.log2(w_safe), MASK_VALUE)
+        return out.astype(q.dtype), lse
+
+    o_lo, lse_lo = finish(*acc_lo)
+    o_hi, lse_hi = finish(*acc_hi)
+    out = _zig_unlayout(o_lo, o_hi, axis_name, n)
+    res = (q_lo, q_hi, k_lo, v_lo, m_lo, k_hi, v_hi, m_hi,
+           o_lo, o_hi, lse_lo, lse_hi)
+    return out, res
+
+
+def _zig_bwd(axis_name, n, sm_scale, block_q, block_k, interpret, res, do):
+    (q_lo, q_hi, k_lo, v_lo, m_lo, k_hi, v_hi, m_hi,
+     o_lo, o_hi, lse_lo, lse_hi) = res
+    # NOTE: k/v/m arrived home after the forward's full ring (n-1 hops
+    # land them one short; the scan left them mid-ring only if n > 1 —
+    # re-derive: after n-1 permutes a shard sits at (owner + n-1) mod n,
+    # one hop short of home. Push them the final hop so each device
+    # again holds ITS OWN zig chunks.
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    if n > 1:
+        k_lo, v_lo, m_lo, k_hi, v_hi, m_hi = (
+            lax.ppermute(a, axis_name, perm)
+            for a in (k_lo, v_lo, m_lo, k_hi, v_hi, m_hi))
+    idx = lax.axis_index(axis_name)
+
+    # sanitize dead rows (no valid key anywhere) exactly as the plain
+    # ring backward does
+    def sanitize(lse, do_c, o_c):
+        dead = lse <= MASK_VALUE * 0.5
+        lse = jnp.where(dead, jnp.float32(1e30), lse)
+        do_c = jnp.where(dead[..., :1], 0.0, do_c).astype(do_c.dtype)
+        return lse, do_c, o_c
+
+    do_lo, do_hi = _zig_relayout(do, axis_name, n)
+    lse_lo, do_lo, o_lo = sanitize(lse_lo, do_lo, o_lo)
+    lse_hi, do_hi, o_hi = sanitize(lse_hi, do_hi, o_hi)
+
+    def bwd_pair(qc, kc, vc, mc, oc, lsec, doc, causal):
+        return _flash_bwd(
+            causal, sm_scale, 0, block_q, block_k, interpret,
+            (qc, kc, vc, mc, oc, lsec), doc)[:3]
+
+    f32 = lambda a: a.astype(jnp.float32)
+
+    # step 0: local pairs
+    dq1, dk1, dv1 = bwd_pair(q_lo, k_lo, v_lo, m_lo, o_lo, lse_lo, do_lo,
+                             True)
+    dq2, dk2, dv2 = bwd_pair(q_hi, k_lo, v_lo, m_lo, o_hi, lse_hi, do_hi,
+                             False)
+    dq3, dk3, dv3 = bwd_pair(q_hi, k_hi, v_hi, m_hi, o_hi, lse_hi, do_hi,
+                             True)
+    dq_lo = f32(dq1)
+    dq_hi = f32(dq2) + f32(dq3)
+    dk_lo_acc = f32(dk1) + f32(dk2)
+    dv_lo_acc = f32(dv1) + f32(dv2)
+    dk_hi_acc = f32(dk3)
+    dv_hi_acc = f32(dv3)
+
+    def step(carry, t):
+        (k_lo, v_lo, m_lo, k_hi, v_hi, m_hi,
+         dk_lo_acc, dv_lo_acc, dk_hi_acc, dv_hi_acc,
+         dq_lo, dq_hi) = carry
+        k_lo, v_lo, m_lo, k_hi, v_hi, m_hi = (
+            lax.ppermute(a, axis_name, perm)
+            for a in (k_lo, v_lo, m_lo, k_hi, v_hi, m_hi))
+        dk_lo_acc, dv_lo_acc, dk_hi_acc, dv_hi_acc = (
+            lax.ppermute(a, axis_name, perm)
+            for a in (dk_lo_acc, dv_lo_acc, dk_hi_acc, dv_hi_acc))
+        # unconditional: q_hi vs visiting lo
+        dq2, dk2, dv2 = bwd_pair(q_hi, k_lo, v_lo, m_lo, o_hi, lse_hi,
+                                 do_hi, False)
+        dq_hi = dq_hi + f32(dq2)
+        dk_lo_acc = dk_lo_acc + f32(dk2)
+        dv_lo_acc = dv_lo_acc + f32(dv2)
+        sel = t <= idx
+
+        def lo_branch(_):
+            return bwd_pair(q_lo, k_lo, v_lo, m_lo, o_lo, lse_lo, do_lo,
+                            False)
+
+        def hi_branch(_):
+            return bwd_pair(q_hi, k_hi, v_hi, m_hi, o_hi, lse_hi, do_hi,
+                            False)
+
+        dqc, dkc, dvc = lax.cond(sel, lo_branch, hi_branch, None)
+        # where-gate (NOT multiply): the dead branch's values are live
+        # here — cond ran exactly one kernel — but route by sel.
+        dq_lo = dq_lo + jnp.where(sel, f32(dqc), 0.0)
+        dq_hi = dq_hi + jnp.where(sel, 0.0, f32(dqc))
+        dk_lo_acc = dk_lo_acc + jnp.where(sel, f32(dkc), 0.0)
+        dv_lo_acc = dv_lo_acc + jnp.where(sel, f32(dvc), 0.0)
+        dk_hi_acc = dk_hi_acc + jnp.where(sel, 0.0, f32(dkc))
+        dv_hi_acc = dv_hi_acc + jnp.where(sel, 0.0, f32(dvc))
+        return (k_lo, v_lo, m_lo, k_hi, v_hi, m_hi,
+                dk_lo_acc, dv_lo_acc, dk_hi_acc, dv_hi_acc,
+                dq_lo, dq_hi), None
+
+    if n > 1:
+        (k_lo, v_lo, m_lo, k_hi, v_hi, m_hi,
+         dk_lo_acc, dv_lo_acc, dk_hi_acc, dv_hi_acc,
+         dq_lo, dq_hi), _ = lax.scan(
+            step,
+            (k_lo, v_lo, m_lo, k_hi, v_hi, m_hi,
+             dk_lo_acc, dv_lo_acc, dk_hi_acc, dv_hi_acc, dq_lo, dq_hi),
+            jnp.arange(1, n))
+        # accumulators sit one hop short of home after n-1 hops
+        dk_lo_acc, dv_lo_acc, dk_hi_acc, dv_hi_acc = (
+            lax.ppermute(a, axis_name, perm)
+            for a in (dk_lo_acc, dv_lo_acc, dk_hi_acc, dv_hi_acc))
+
+    dq = _zig_unlayout(dq_lo, dq_hi, axis_name, n)
+    dk = _zig_unlayout(dk_lo_acc, dk_hi_acc, axis_name, n)
+    dv = _zig_unlayout(dv_lo_acc, dv_hi_acc, axis_name, n)
+    return (dq.astype(q_lo.dtype), dk.astype(k_lo.dtype),
+            dv.astype(v_lo.dtype), None)
+
+
+_zig.defvjp(_zig_fwd, _zig_bwd)
+
+
 def ring_attention(
     q: jax.Array,
     k: jax.Array,
@@ -212,6 +486,7 @@ def ring_attention(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    zigzag: Optional[bool] = None,
 ) -> jax.Array:
     """Ring attention for sequence-sharded q/k/v (call inside shard_map).
 
@@ -221,6 +496,13 @@ def ring_attention(
     ``kv_mask`` (B, L) per-device shard of the key validity mask (1 =
     attend) for left/right-padded batches; it travels the ring with its
     k/v shard.
+
+    ``zigzag`` (default: auto) picks the load-balanced layout for causal
+    rings with an even size: each device holds sequence chunks
+    (i, 2n-1-i), so every ring step runs exactly two quarter-size
+    kernels instead of one gated full-shard kernel — half the FLOPs,
+    the causal-optimal schedule. Internal relayout; the external
+    contiguous-shard contract is unchanged.
     """
     B, H, L, D = q.shape
     if sm_scale is None:
@@ -233,6 +515,25 @@ def ring_attention(
     if Dp != D:
         pad = [(0, 0)] * 3 + [(0, Dp - D)]
         q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
+
+    C = L // 2
+    zig_ok = (causal and n > 1 and n % 2 == 0 and L % 2 == 0
+              and C % min(block_q, _round_up(C, 128)) == 0
+              and C % min(block_k, _round_up(C, 128)) == 0)
+    if zigzag is None:
+        zigzag = zig_ok
+    elif zigzag and not zig_ok:
+        raise ValueError(
+            f"zigzag requires causal, even ring size and chunkable L "
+            f"(got causal={causal} n={n} L={L} q{q.shape} k{k.shape})")
+
+    if zigzag:
+        bq = min(block_q, _round_up(C, 128))
+        bk = min(block_k, _round_up(C, 128))
+        out = _zig(q, k, v, kv_mask, axis_name, n, sm_scale, bq, bk,
+                   interpret)
+        return out[..., :D] if Dp != D else out
+
     block_q = min(block_q, _round_up(L, 128))
     block_k = min(block_k, _round_up(L, 128))
     if L % block_q or L % block_k:

@@ -72,6 +72,51 @@ def wo_matmul_pallas(
     )(x, w_q, w_s.reshape(1, N).astype(jnp.float32))
 
 
+def quantize_rows(x: jax.Array) -> tuple:
+    """Dynamic per-row int8 quantization: (..., K) bf16/f32 ->
+    ((..., K) int8, (..., 1) f32 scale) with x ~= q * scale.
+
+    The W8A8 prefill path quantizes each activation ONCE and feeds every
+    projection sharing it (q/k/v; gate/up) — measured on v5e the whole
+    quantize chain fuses into the int8 dot's pipeline for ~0.05 ms at
+    (8192, 4096) (benchmarks/actquant_probe.py: quantize+dot 351 TFLOP/s
+    vs 372 for the dot alone, vs 138 for the bf16 dot it replaces)."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
+    r = 127.0 / jnp.maximum(amax, 1e-6)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * r), -127, 127).astype(
+        jnp.int8)
+    return q, 1.0 / r
+
+
+def w8a8_matmul(
+    x_q: jax.Array,    # (..., K) int8 (from quantize_rows)
+    x_s: jax.Array,    # (..., 1) f32 per-row scales
+    w_q: jax.Array,    # (K, N) int8
+    w_s: jax.Array,    # (N,) f32 per-output-channel scales
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Int8 x int8 -> int32 matmul with per-row x per-channel rescale.
+
+    Plain XLA: the int8 dot reaches the chip's measured int8 roof at
+    prefill shapes (372 TFLOP/s at M=8192 K=4096 N=14336 on v5e,
+    benchmarks/w8a8_probe.py) — 2.7x the bf16 rate the W8A16 dequant
+    fallback runs at. Compute-bound prefill only; decode (tiny M) stays
+    on the weight-read-bound W8A16 path."""
+    lead = x_q.shape[:-1]
+    K = x_q.shape[-1]
+    N = w_q.shape[-1]
+    M = 1
+    for d in lead:
+        M *= d
+    acc = jax.lax.dot_general(
+        x_q.reshape(M, K), w_q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = (acc.astype(jnp.float32) * x_s.reshape(M, 1)
+           * w_s.astype(jnp.float32)[None, :]).astype(out_dtype)
+    return out.reshape(*lead, N)
+
+
 def wo_matmul(
     x: jax.Array,      # (..., K)
     w_q: jax.Array,    # (K, N) int8

@@ -32,6 +32,7 @@ from multimeditron_tpu.models.llama import (
     init_kv_cache,
     init_paged_kv_cache,
     llama_forward,
+    lm_head_logits,
 )
 from multimeditron_tpu.models.multimodal import MultimodalModel
 
@@ -74,6 +75,26 @@ class EngineConfig:
     # Pool pages (incl. the reserved trash page 0). Default sizes the pool
     # to the slab capacity; set lower to cap KV memory.
     num_pages: Optional[int] = None
+    # W8A8 prefill (requires quantize_llm): prefill calls run activations
+    # quantized per-row to int8 through int8 x int8 MXU dots — measured
+    # 2.5-2.7x the W8A16 dequant (bf16 MXU) rate at 8B prefill shapes
+    # (benchmarks/w8a8_probe.py). Decode keeps the W8A16 weight-read
+    # path (tiny M is bandwidth-bound; the row gate in
+    # LlamaConfig.w8a8_min_rows never fires there). Off by default:
+    # activation quantization is a fidelity trade (per-token dynamic
+    # scales; see tests/test_w8a8.py for the parity contract).
+    w8a8_prefill: bool = False
+    # Staggered prefill admission. None (default) batches every
+    # same-signature queued request into ONE prefill call — maximal
+    # throughput, but every request's first token then waits for the
+    # whole fleet's prefill (p50 == p95 == full-batch prefill time; the
+    # round-4 8B bench measured 1,919 ms for 16 requests). Setting a cap
+    # admits at most ``cap`` requests per prefill call and at most one
+    # group per engine step, with a 1-step decode chunk between groups:
+    # earlier groups' first tokens arrive after ~their own group's
+    # prefill, so TTFT p50 drops to ~half the fleet prefill (the
+    # single-chip staggering bound) while later groups keep streaming.
+    prefill_group_cap: Optional[int] = None
     # Tensor-parallel serving (sglang serves with --tp N; SURVEY §2.3).
     # tp > 1 builds a GSPMD mesh over the first ``tp`` devices: params
     # shard per parallel/sharding.py (heads/FFN over "tp", vocab-sharded
@@ -403,9 +424,19 @@ class ServingEngine:
 
         return sample
 
+    def _prefill_llm(self):
+        """LLM config for prefill-path graphs: enables the W8A8 row gate
+        when configured (decode fns keep the pristine config)."""
+        llm = self.model.config.llm
+        if self.cfg.w8a8_prefill:
+            if not self.cfg.quantize_llm:
+                raise ValueError("w8a8_prefill requires quantize_llm")
+            llm = dataclasses.replace(llm, w8a8_min_rows=256)
+        return llm
+
     def _build_prefill_fn(self, bucket: int, n: int = 1) -> Callable:
         model, cfg = self.model, self.cfg
-        llm = model.config.llm
+        llm = self._prefill_llm()
         paged = self.paged
         P = self.page_size if paged else 0
         eos = self.eos_id
@@ -423,13 +454,18 @@ class ServingEngine:
             # loop needs no per-chunk uploads.
             embeds = model.embed(params, input_ids, mm_inputs)
             local = init_kv_cache(llm, n, bucket, dtype=state["k"].dtype)
-            logits, local = llama_forward(
+            # return_hidden + last-position-only head: the full-logits
+            # output is unused, so XLA DCEs the (n*bucket, vocab) lm_head
+            # matmul — at 8B scale (8192 tokens x 128k vocab) that was
+            # ~60 ms of throwaway work per 16-request prefill group.
+            _, local, hidden = llama_forward(
                 params["llm"], llm,
                 inputs_embeds=embeds,
                 attention_mask=attention_mask,
                 kv_cache=local,
                 prefill=True,
                 attn_impl=cfg.attn_impl,
+                return_hidden=True,
             )
             lengths = attention_mask.sum(axis=-1).astype(jnp.int32)
             k, v = state["k"], state["v"]
@@ -467,9 +503,10 @@ class ServingEngine:
                     v = jax.lax.dynamic_update_slice(
                         v, local["v"][:, j : j + 1, :, :width], (0, dest[j], 0, 0, 0)
                     )
-            last_logits = jnp.take_along_axis(
-                logits, (lengths - 1)[:, None, None], axis=1
-            )[:, 0]
+            last_h = jnp.take_along_axis(
+                hidden, (lengths - 1)[:, None, None], axis=1
+            )
+            last_logits = lm_head_logits(params["llm"], llm, last_h)[:, 0]
             first_tokens = sampler(last_logits, temps, top_ps, seed)
             # a slot starts active unless the first token already ends it
             active_new = jnp.logical_and(first_tokens != eos, budgets > 1)
@@ -765,10 +802,18 @@ class ServingEngine:
                 continue
             sig = self._request_signature(take[0])
             group = [r for r in take if self._request_signature(r) == sig]
-            # Cap group size to a power of two so the set of compiled
-            # batched-prefill variants stays logarithmic.
-            cap = 1 << (len(group).bit_length() - 1)
-            group = group[:cap]
+            if self.cfg.prefill_group_cap:
+                # explicit cap: group sizes are bounded by the cap itself
+                # (cap + smaller remainders), so no pow2 rounding needed —
+                # and non-pow2 caps let the operator place the median
+                # request inside the FIRST group (cap = n/2 + 1 gives
+                # TTFT p50 ~= half the fleet-prefill wall)
+                group = group[: self.cfg.prefill_group_cap]
+            else:
+                # Cap group size to a power of two so the set of compiled
+                # batched-prefill variants stays logarithmic.
+                cap = 1 << (len(group).bit_length() - 1)
+                group = group[:cap]
             if self.paged:
                 # shrink the group to what the free pool can host
                 budget = len(self.free_pages)
@@ -789,6 +834,10 @@ class ServingEngine:
             slots = free[: len(group)]
             free = free[len(group):]
             self._prefill_group(group, slots, sig)
+            if self.cfg.prefill_group_cap:
+                # staggered admission: one group per engine step — the
+                # step's decode chunk runs before the next group prefills
+                break
 
     def _prefill_group(self, group: List[Request], slots: List[int], sig,
                        reserve: bool = True) -> None:
@@ -884,7 +933,7 @@ class ServingEngine:
         gather/scatter; the finished prompt's KV is folded into the page
         pool ONCE by ``_get_slab_scatter_fn`` after the last chunk."""
         model, cfg = self.model, self.cfg
-        llm = model.config.llm
+        llm = self._prefill_llm()
         sampler = self._make_sampler()
 
         def chunk_prefill(params, slab, input_ids, attention_mask,
@@ -892,17 +941,21 @@ class ServingEngine:
             embeds = model.embed(params, input_ids, mm_inputs)
             slot_cache = {"k": slab["k"], "v": slab["v"],
                           "length": start_len[None]}
-            logits, slot_cache = llama_forward(
+            _, slot_cache, hidden = llama_forward(
                 params["llm"], llm,
                 inputs_embeds=embeds,
                 attention_mask=attention_mask,
                 kv_cache=slot_cache,
                 prefill=True,
                 attn_impl=cfg.attn_impl,
+                return_hidden=True,
             )
             chunk_len = attention_mask.sum(axis=-1).astype(jnp.int32)
-            last = jnp.take_along_axis(
-                logits, (chunk_len - 1)[:, None, None], axis=1)[:, 0]
+            # last-position-only head (full logits DCE'd; see
+            # _build_prefill_fn)
+            last_h = jnp.take_along_axis(
+                hidden, (chunk_len - 1)[:, None, None], axis=1)
+            last = lm_head_logits(params["llm"], llm, last_h)[:, 0]
             slab = {"k": slot_cache["k"], "v": slot_cache["v"]}
             return slab, sampler(last, temps, top_ps, seed), last
 
@@ -954,7 +1007,7 @@ class ServingEngine:
         Non-paged (slab kv_mode) only — paged mode goes through
         ``_build_chunk_prefill_slab_fn``."""
         model, cfg = self.model, self.cfg
-        llm = model.config.llm
+        llm = self._prefill_llm()
 
         sampler = self._make_sampler()
 
@@ -966,21 +1019,23 @@ class ServingEngine:
             v_slot = jax.lax.dynamic_slice_in_dim(state["v"], dest, 1, axis=1)
             slot_cache = {"k": k_slot, "v": v_slot,
                           "length": start_len[None]}
-            logits, slot_cache = llama_forward(
+            _, slot_cache, hidden = llama_forward(
                 params["llm"], llm,
                 inputs_embeds=embeds,
                 attention_mask=attention_mask,
                 kv_cache=slot_cache,
                 prefill=True,
                 attn_impl=cfg.attn_impl,
+                return_hidden=True,
             )
             k = jax.lax.dynamic_update_slice(
                 state["k"], slot_cache["k"], (0, dest, 0, 0, 0))
             v = jax.lax.dynamic_update_slice(
                 state["v"], slot_cache["v"], (0, dest, 0, 0, 0))
             chunk_len = attention_mask.sum(axis=-1).astype(jnp.int32)
-            last = jnp.take_along_axis(
-                logits, (chunk_len - 1)[:, None, None], axis=1)[:, 0]
+            last_h = jnp.take_along_axis(
+                hidden, (chunk_len - 1)[:, None, None], axis=1)
+            last = lm_head_logits(params["llm"], llm, last_h)[:, 0]
             return ({**state, "k": k, "v": v},
                     sampler(last, temps, top_ps, seed), last)
 
@@ -1276,6 +1331,11 @@ class ServingEngine:
             for s in range(self.cfg.max_slots) if self.active[s]
         )
         chunk_now = min(self.decode_chunk, max(1, headroom))
+        if self.cfg.prefill_group_cap and self.queue:
+            # prefill-priority while staggering: a 1-step chunk keeps the
+            # admitted streams alive without making the next group's
+            # first tokens wait a full decode chunk
+            chunk_now = 1
         chunk_now = 1 << (chunk_now.bit_length() - 1)
         decode_fn = self._get_decode_fn(chunk_now)
 

@@ -64,6 +64,13 @@ class TrainerConfig:
     tp: int = 1
     # sequence parallel (Ulysses): also sets LlamaConfig.sequence_parallel
     sp: int = 1
+    # Ring attention over the sp axis (requires sp > 1): k/v shards
+    # ppermute around the sp ring instead of the Ulysses all-to-all, so
+    # attention memory stays O(S/sp) per device — the long-context mode.
+    # Sets LlamaConfig.ring_attention (models/llama.py). The per-device
+    # sequence (padded batch length / sp) must be a multiple of the ring
+    # block size (ops/ring_attention.py).
+    ring_attention: bool = False
     # expert parallel: shards MoE vision-expert stacks (parallel/sharding.py)
     ep: int = 1
     # pipeline parallel: GPipe stages over the decoder layer stack
@@ -170,11 +177,17 @@ class MultimodalTrainer:
                                       ep=config.ep, pp=config.pp)
         import dataclasses as _dc
 
+        if config.ring_attention and config.sp <= 1:
+            raise ValueError("ring_attention requires sp > 1 (the ring "
+                             "runs over the sp mesh axis)")
         if config.sp > 1 and not model.config.llm.sequence_parallel:
             # LlamaConfig is frozen; swap in an sp-enabled copy so the
             # forward emits the Ulysses sharding constraints
             model.config.llm = _dc.replace(
                 model.config.llm, sequence_parallel=True)
+        if config.ring_attention and not model.config.llm.ring_attention:
+            model.config.llm = _dc.replace(
+                model.config.llm, ring_attention=True)
         pp = max(config.pp, self.mesh.shape.get("pp", 1))
         if pp > 1 and model.config.llm.pipeline_parallel != pp:
             model.config.llm = _dc.replace(

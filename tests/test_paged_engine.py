@@ -211,3 +211,23 @@ def test_submit_group_slab_fallback(setup):
     eng.run()
     toks = [r.tokens for r in reqs]
     assert toks[0] == toks[1] == toks[2]
+
+
+def test_staggered_admission_parity(setup):
+    """prefill_group_cap=1 staggers admission (one group per step, 1-step
+    decode chunks between groups) but must produce the exact same greedy
+    tokens as admit-everything-at-once, and actually cap the batched
+    prefill group sizes."""
+    model, params, collator = setup
+    batches = [collator([p]) for p in (PROMPTS + PROMPTS)]
+    base = _engine(model, params, "paged", max_slots=4)
+    out_base = base.generate(batches, max_new_tokens=6)
+
+    stag = _engine(model, params, "paged", max_slots=4,
+                   prefill_group_cap=1)
+    out_stag = stag.generate(batches, max_new_tokens=6)
+    assert out_base == out_stag
+    # every compiled batched-prefill variant respects the cap
+    assert all(key[1] <= 1 for key in stag._prefill_fns)
+    # the uncapped engine did batch same-signature requests (>1 somewhere)
+    assert any(key[1] > 1 for key in base._prefill_fns)
