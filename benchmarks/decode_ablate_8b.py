@@ -64,7 +64,10 @@ def main():
         k = wo_matmul(x, lp["k_proj_q"], lp["k_proj_s"])
         v = wo_matmul(x, lp["v_proj_q"], lp["v_proj_s"])
         o = wo_matmul(q, lp["o_proj_q"], lp["o_proj_s"])
-        x = x + o + k[:, :1] * 0 + v[:, :1] * 0
+        # consume k/v through full-width row reductions so XLA cannot
+        # DCE their dots (a *0 coupling zeroed this variant out entirely)
+        x = x + o + (jnp.max(k, axis=-1, keepdims=True)
+                     + jnp.max(v, axis=-1, keepdims=True)) * 1e-30
         g = wo_matmul(x, lp["gate_proj_q"], lp["gate_proj_s"])
         u = wo_matmul(x, lp["up_proj_q"], lp["up_proj_s"])
         x = x + wo_matmul(

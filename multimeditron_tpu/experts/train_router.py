@@ -81,12 +81,23 @@ class RouterTrainer:
         return step
 
     def collate(self, rows: List[Dict[str, Any]]):
-        from multimeditron_tpu.data.loaders import RawImageLoader
+        from multimeditron_tpu.data.loaders import (
+            FileSystemImageLoader,
+            RawImageLoader,
+        )
 
-        loader = RawImageLoader()
+        raw, fs = RawImageLoader(), FileSystemImageLoader()
+
+        def load(value):
+            # string values are filesystem paths (ImageFolder flows,
+            # notebooks/selector/fine-tuning.py); everything else is an
+            # in-memory image/bytes
+            loader = fs if isinstance(value, str) else raw
+            return loader.load({"value": value, "type": "image"})
+
         pixels = [
             preprocess_image(
-                loader.load({"value": r[self.cfg.image_column], "type": "image"}),
+                load(r[self.cfg.image_column]),
                 self.cfg.image_size, CLIP_MEAN, CLIP_STD,
             )
             for r in rows
