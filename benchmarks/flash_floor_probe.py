@@ -56,6 +56,7 @@ def _probe_kernel(
 
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
+    causal = not variant.startswith("nc_")
 
     @pl.when(ik == 0)
     def _init():
@@ -63,7 +64,8 @@ def _probe_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    should_run = _below_or_on_diag(iq, block_q, ik, block_k, 0)
+    should_run = (_below_or_on_diag(iq, block_q, ik, block_k, 0)
+                  if causal else True)
 
     def compute(masked: bool):
         mask = None
@@ -87,7 +89,7 @@ def _probe_kernel(
             if mask is not None:
                 s = jnp.where(mask, s, MASK_VALUE)
             v = v_ref[0, a]
-            if variant == "dots":
+            if variant in ("dots", "nc_dots"):
                 acc_scr[a] += lax.dot_general(
                     s.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -134,7 +136,7 @@ def _probe_kernel(
 
         @pl.when(should_run)
         def _one():
-            compute(variant not in ("nomask", "dots", "nomaxsum", "noexp"))
+            compute(variant == "full")  # probe-level full math only
 
     @pl.when(ik == nk - 1)
     def _finalize():
@@ -163,8 +165,11 @@ def build_variant(variant, B, H, S, D, block_q, block_k):
     hp = 2
     nq, nk = S // block_q, S // block_k
     grid = (B, H // hp, nq, nk)
+    causal = not variant.startswith("nc_")
 
     def remap_k(iq, ik):
+        if not causal:
+            return ik
         return lax.select(
             _below_or_on_diag(iq, block_q, ik, block_k, 0), ik, 0)
 
@@ -227,7 +232,13 @@ def main():
     v = jnp.asarray(rng.normal(size=(B, H, S, D)) * 0.3, jnp.bfloat16)
     FL = 4 * B * H * S * S * D / 2 * args.iters
 
-    variants = ["full", "diag_split", "nomask", "noexp", "nomaxsum", "dots"]
+    # nc_*: NON-causal runs rated against the FULL S^2 FLOP count —
+    # if nc_dots lands near the historical 160.9 "dots-only ceiling"
+    # while causal dots sits at ~118, the committed kernel's gap is the
+    # causal geometry itself (per-row pipeline restarts at the diagonal,
+    # remapped DMAs), not the softmax chain.
+    variants = ["full", "diag_split", "nomask", "noexp", "nomaxsum",
+                "dots", "nc_full", "nc_dots"]
     fns = {}
     for name in variants:
         if name == "full":
@@ -270,7 +281,8 @@ def main():
             best[name] = min(best[name], time.perf_counter() - t0)
 
     rt = 0.030
-    res = {name: FL / max(best[name] - rt, 1e-9) / 1e12
+    res = {name: (FL * (2 if name.startswith("nc_") else 1))
+           / max(best[name] - rt, 1e-9) / 1e12
            for name in variants}
     out = {"metric": "flash_floor_probe", "s": S, "d": D,
            "diag_split_max_err": round(err, 5), "diag_split_correct": diag_ok,

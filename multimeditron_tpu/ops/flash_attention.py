@@ -111,10 +111,10 @@ def _fwd_kernel(
         _below_or_on_diag(iq, block_q, ik, block_k, offset) if causal else True
     )
 
-    @pl.when(should_run)
-    def _compute():
+    def _compute_body(build_causal_mask: bool):
         kv_blk = kv_mask_ref[0, :1, :] if kv_mask_ref is not None else None
-        mask = _block_mask(iq, ik, block_q, block_k, offset, causal, kv_blk)
+        mask = _block_mask(iq, ik, block_q, block_k, offset,
+                           causal and build_causal_mask, kv_blk)
 
         s_all = []
         for a in range(head_pack):
@@ -160,6 +160,27 @@ def _fwd_kernel(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+
+    if causal:
+        # Diagonal split (flash_floor_probe: +2.2 TFLOP/s, exact-match):
+        # blocks strictly below the diagonal are fully valid — skip the
+        # iota mask construction and the where pass there (60% of the
+        # executed tiles at 1024-blocks). The kv padding mask, when
+        # present, still applies on both branches.
+        full_valid = (iq * block_q + offset) >= ((ik + 1) * block_k - 1)
+
+        @pl.when(should_run & full_valid)
+        def _compute_below_diag():
+            _compute_body(False)
+
+        @pl.when(should_run & jnp.logical_not(full_valid))
+        def _compute_diag():
+            _compute_body(True)
+    else:
+
+        @pl.when(should_run)
+        def _compute():
+            _compute_body(True)
 
     @pl.when(ik == nk - 1)
     def _finalize():
@@ -283,10 +304,10 @@ def _dq_kernel(
         _below_or_on_diag(iq, block_q, ik, block_k, offset) if causal else True
     )
 
-    @pl.when(should_run)
-    def _compute():
+    def _compute_body(build_causal_mask: bool):
         kv_blk = kv_mask_ref[0, :1, :] if kv_mask_ref is not None else None
-        mask = _block_mask(iq, ik, block_q, block_k, offset, causal, kv_blk)
+        mask = _block_mask(iq, ik, block_q, block_k, offset,
+                           causal and build_causal_mask, kv_blk)
 
         for a in range(head_pack):
             q = q_ref[0, a]
@@ -317,6 +338,24 @@ def _dq_kernel(
                 preferred_element_type=jnp.float32,
             )
 
+    if causal:
+        # diagonal split as in the forward: below-diagonal blocks skip
+        # the causal mask build/apply (kv padding mask still applies)
+        full_valid = (iq * block_q + offset) >= ((ik + 1) * block_k - 1)
+
+        @pl.when(should_run & full_valid)
+        def _compute_below_diag():
+            _compute_body(False)
+
+        @pl.when(should_run & jnp.logical_not(full_valid))
+        def _compute_diag():
+            _compute_body(True)
+    else:
+
+        @pl.when(should_run)
+        def _compute():
+            _compute_body(True)
+
     @pl.when(ik == nk - 1)
     def _finalize():
         for a in range(head_pack):
@@ -346,8 +385,7 @@ def _dkv_kernel(
         _below_or_on_diag(iq, block_q, ik, block_k, offset) if causal else True
     )
 
-    @pl.when(should_run)
-    def _compute():
+    def _compute_body(build_causal_mask: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -359,7 +397,8 @@ def _dkv_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (sm_scale * LOG2_E)
         kv_blk = kv_mask_ref[0, :1, :] if kv_mask_ref is not None else None
-        mask = _block_mask(iq, ik, block_q, block_k, offset, causal, kv_blk)
+        mask = _block_mask(iq, ik, block_q, block_k, offset,
+                           causal and build_causal_mask, kv_blk)
         if mask is not None:
             s = jnp.where(mask, s, MASK_VALUE)
 
@@ -383,6 +422,22 @@ def _dkv_kernel(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    if causal:
+        full_valid = (iq * block_q + offset) >= ((ik + 1) * block_k - 1)
+
+        @pl.when(should_run & full_valid)
+        def _compute_below_diag():
+            _compute_body(False)
+
+        @pl.when(should_run & jnp.logical_not(full_valid))
+        def _compute_diag():
+            _compute_body(True)
+    else:
+
+        @pl.when(should_run)
+        def _compute():
+            _compute_body(True)
 
     @pl.when(jnp.logical_and(g == n_g - 1, iq == nq - 1))
     def _finalize():
