@@ -101,11 +101,14 @@ def main():
                      jnp.bfloat16)
     tok0 = jnp.zeros((B,), jnp.int32)
     fn = mk_wstream()
-    fn(params, x0, tok0)[1].block_until_ready()
+    # np.asarray, not block_until_ready: through the axon relay the
+    # latter returns without waiting (a first cut measured NEGATIVE
+    # per-step times after RT correction)
+    np.asarray(fn(params, x0, tok0)[1])
     best = float("inf")
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        fn(params, x0, tok0)[1].block_until_ready()
+        np.asarray(fn(params, x0, tok0)[1])
         best = min(best, time.perf_counter() - t0)
     per_step = (best - 0.010) / args.chunk
     results["wstream_ms_per_step"] = per_step * 1000
