@@ -34,6 +34,12 @@ def main():
     parser.add_argument("--chunk", type=int, default=16)
     parser.add_argument("--ctx", type=int, default=576)
     parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--hidden", type=int, default=4096)
+    parser.add_argument("--layers", type=int, default=32)
+    parser.add_argument("--heads", type=int, default=32)
+    parser.add_argument("--kv-heads", type=int, default=8)
+    parser.add_argument("--intermediate", type=int, default=14336)
+    parser.add_argument("--vocab", type=int, default=128256)
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 
@@ -48,8 +54,10 @@ def main():
     from multimeditron_tpu.ops.wo_matmul import wo_matmul
 
     cfg = LlamaConfig(
-        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
-        num_layers=32, num_heads=32, num_kv_heads=8, dtype=jnp.bfloat16,
+        vocab_size=args.vocab, hidden_size=args.hidden,
+        intermediate_size=args.intermediate,
+        num_layers=args.layers, num_heads=args.heads,
+        num_kv_heads=args.kv_heads, dtype=jnp.bfloat16,
     )
     params = jax.jit(lambda k: init_quantized_llama_params(k, cfg))(
         jax.random.PRNGKey(0))
@@ -164,6 +172,37 @@ def main():
     results["attn_sample_other_ms"] = (
         results["engine_ms_per_step"] - results["wstream_ms_per_step"])
     results["weight_gb"] = weight_bytes / 1e9
+
+    # greedy engine: same decode graph minus the categorical sampler —
+    # its delta vs the engine number is the sampling marginal in context
+    engine_g = ServingEngine(
+        model, mm_params,
+        EngineConfig(
+            max_slots=args.slots, max_seq_len=args.ctx + 64,
+            max_new_tokens=48, prefill_buckets=(512,), do_sample=False,
+            decode_chunk=args.chunk, quantize_llm=True,
+        ),
+    )
+    for i in range(args.slots):
+        engine_g.submit(
+            {"input_ids": ids, "attention_mask": np.ones_like(ids)},
+            max_new_tokens=48)
+    engine_g._admit()
+    decode_g = engine_g._get_decode_fn(args.chunk)
+    state_g = engine_g.state
+    state_g, toks = decode_g(engine_g.params, state_g)
+    np.asarray(toks)
+    best_g = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        state_g, toks = decode_g(engine_g.params, state_g)
+        np.asarray(toks)
+        best_g = min(best_g, time.perf_counter() - t0)
+    results["engine_greedy_ms_per_step"] = (
+        (best_g - 0.010) / args.chunk * 1000)
+    results["sampling_marginal_ms"] = (
+        results["engine_ms_per_step"]
+        - results["engine_greedy_ms_per_step"])
 
     out = {"metric": "decode_ablate_8b", "slots": B, "chunk": args.chunk,
            **{k: round(v, 2) for k, v in results.items()}}

@@ -36,6 +36,10 @@ def main():
                         help="Comma list of offered request counts (e.g. "
                              "4,8,16,32): after the main sessions, measure "
                              "TTFT at each offered load on the same engine")
+    parser.add_argument("--speculative-k", type=int, default=0,
+                        help="greedy n-gram speculative decode (forces "
+                             "kv-mode slab + do_sample=False); reports "
+                             "accepted tokens per verify step")
     parser.add_argument("--w8a8-prefill", action="store_true",
                         help="int8-activation prefill for the quantized "
                              "LLM (2.5x the bf16-dequant prefill rate; "
@@ -67,6 +71,8 @@ def main():
 
     if args.init_quantized:
         args.quantize_llm = True
+    if args.speculative_k:
+        args.kv_mode = "slab"
     llm = LlamaConfig(
         vocab_size=args.vocab, hidden_size=args.hidden,
         intermediate_size=args.intermediate or int(args.hidden * 2.75),
@@ -114,6 +120,9 @@ def main():
             decode_chunk=args.decode_chunk,
             quantize_llm=args.quantize_llm,
             prefill_group_cap=args.prefill_group_cap or None,
+            w8a8_prefill=args.w8a8_prefill,
+            speculative_k=args.speculative_k,
+            do_sample=not args.speculative_k,
         ),
     )
 
@@ -223,9 +232,17 @@ def main():
     size_tag = f"{n_params / 1e9:.0f}b" if n_params >= 3e9 else "1b"
 
     median = {k: float(_np.median([s[k] for s in sessions])) for k in sessions[0]}
+    spec_extra = {}
+    if args.speculative_k and getattr(engine, "spec_slot_steps", 0):
+        spec_extra = {
+            "speculative_k": args.speculative_k,
+            "spec_accept_tokens_per_slot_step": round(
+                engine.spec_emitted / engine.spec_slot_steps, 2),
+        }
     if args.json:
         record = {
             "metric": f"serve_{size_tag}_multimodal",
+            **spec_extra,
             "requests": args.requests, "slots": args.slots,
             "prompt_len": args.prompt_len, "new_tokens": args.new_tokens,
             "sessions": len(sessions),

@@ -75,6 +75,18 @@ class EngineConfig:
     # Pool pages (incl. the reserved trash page 0). Default sizes the pool
     # to the slab capacity; set lower to cap KV memory.
     num_pages: Optional[int] = None
+    # Greedy n-gram SPECULATIVE decoding (slab kv_mode, do_sample=False).
+    # k > 0 replaces the token-at-a-time decode with verify steps: each
+    # step drafts k continuation tokens IN-GRAPH from a device-resident
+    # token history (most recent earlier occurrence of the current
+    # bigram — "prompt lookup" decoding, no draft model), then one
+    # forward over the (k+1)-token block commits the longest matching
+    # prefix plus one bonus token. Decode is weight-read bound, so a
+    # (k+1)-token verify costs barely more than a 1-token step; output
+    # is EXACTLY the plain greedy decode (drafts only affect speed).
+    # The whole draft->verify->accept loop chains inside one compiled
+    # chunk — zero extra host round-trips.
+    speculative_k: int = 0
     # W8A8 prefill (requires quantize_llm): prefill calls run activations
     # quantized per-row to int8 through int8 x int8 MXU dots — measured
     # 2.5-2.7x the W8A16 dequant (bf16 MXU) rate at 8B prefill shapes
@@ -270,6 +282,22 @@ class ServingEngine:
             self.state["page_table"] = jnp.zeros(
                 (cfg.max_slots, self.pages_max), jnp.int32)
             self.state["pages_length"] = jnp.zeros((cfg.max_slots,), jnp.int32)
+        self.spec_k = max(0, cfg.speculative_k)
+        if self.spec_k:
+            if self.paged:
+                raise ValueError(
+                    "speculative_k requires kv_mode='slab' (the verify "
+                    "block writes K/V at per-slot variable offsets)")
+            if cfg.do_sample:
+                raise ValueError(
+                    "speculative_k requires do_sample=False (greedy "
+                    "verify guarantees exact-match outputs)")
+            # committed-token history (prompt + generated) backing the
+            # in-graph n-gram draft; + k+2 margin so masked scatter
+            # writes can go out of bounds (dropped) instead of wrapping
+            self.state["history"] = jnp.zeros(
+                (cfg.max_slots, cfg.max_seq_len + self.spec_k + 2),
+                jnp.int32)
         if self.mesh is not None:
             self.state = self._shard_state(self.state)
 
@@ -521,6 +549,15 @@ class ServingEngine:
                 "temps": state["temps"].at[slot_ids].set(temps),
                 "top_ps": state["top_ps"].at[slot_ids].set(top_ps),
             }
+            if "history" in state:
+                # committed tokens = prompt[:length] + the first sampled
+                # token at position ``length`` (speculative drafting
+                # reads this buffer in-graph; right-pad rows beyond the
+                # length are never matched)
+                hist = state["history"]
+                hist = hist.at[slot_ids, :bucket].set(input_ids)
+                hist = hist.at[slot_ids, lengths].set(first_tokens)
+                state["history"] = hist
             if paged:
                 state["pages_length"] = (
                     state["pages_length"].at[slot_ids].set(lengths))
@@ -640,6 +677,122 @@ class ServingEngine:
                 "seed": state["seed"] + 1,
             }
             return state, toks  # toks: (chunk, slots)
+
+        return jax.jit(decode, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    # Greedy n-gram speculative decoding (slab mode)
+    # ------------------------------------------------------------------
+    def _get_spec_decode_fn(self, n_steps: int) -> Callable:
+        if not hasattr(self, "_spec_decode_fns"):
+            self._spec_decode_fns: Dict[int, Callable] = {}
+        if n_steps not in self._spec_decode_fns:
+            self._spec_decode_fns[n_steps] = self._build_spec_decode_fn(
+                n_steps)
+        return self._spec_decode_fns[n_steps]
+
+    def _build_spec_decode_fn(self, n_steps: int) -> Callable:
+        """Compiled speculative chunk: ``n_steps`` draft->verify->accept
+        iterations chained in-graph (lax.scan). Each iteration drafts k
+        tokens from the device-resident history (most recent earlier
+        occurrence of the current bigram), runs ONE (k+1)-token forward
+        through the slab cache (the decode path's S>1 branch: per-slot
+        write offsets, causal-within-block), and commits the longest
+        draft prefix the greedy argmax agrees with, plus one bonus
+        token. Output is exactly the plain greedy decode; decode is
+        weight-read bound, so each accepted draft token is nearly free.
+        Returns (state, (g, emit)): (n_steps, slots, k+1) token matrix
+        and emission mask for the host mirrors."""
+        model, cfg = self.model, self.cfg
+        llm = model.config.llm
+        eos = self.eos_id
+        k = self.spec_k
+        max_seq_len = cfg.max_seq_len
+        Lh = max_seq_len + k + 2
+
+        def draft_one(history, length, last_tok):
+            # committed tokens live at history[0..length] (length+1
+            # entries; history[length] == last_tok). Find the most
+            # recent EARLIER occurrence of the (prev, last) bigram and
+            # propose the k tokens that followed it. Any draft is
+            # CORRECT under greedy verify — a miss only costs speed.
+            pos = jnp.arange(Lh)
+            prev = history[jnp.maximum(length - 1, 0)]
+            m = (jnp.roll(history, 1) == prev) & (history == last_tok)
+            valid = (pos >= 1) & (pos <= length - 1) & (length >= 1)
+            j = jnp.max(jnp.where(m & valid, pos, -1))
+            found = j >= 1
+            start = jnp.clip(j + 1, 0, Lh - k)
+            cand = jax.lax.dynamic_slice(history, (start,), (k,))
+            return jnp.where(found, cand, jnp.full((k,), last_tok))
+
+        def one_step(params, cache, history, tokens, active, remaining):
+            B = tokens.shape[0]
+            drafts = jax.vmap(draft_one)(history, cache["length"], tokens)
+            block = jnp.concatenate([tokens[:, None], drafts], axis=1)
+            embeds = jnp.take(params["llm"]["embed_tokens"], block, axis=0)
+            logits, new_cache = llama_forward(
+                params["llm"], llm,
+                inputs_embeds=embeds,
+                kv_cache=cache,
+                prefill=True,  # causal within the block at per-slot offsets
+                attn_impl=cfg.attn_impl,
+            )
+            g = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(
+                jnp.int32)                               # (B, k+1)
+            match = (block[:, 1:] == g[:, :-1]).astype(jnp.int32)
+            a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,)
+            idx = jnp.arange(k + 1)[None, :]
+            emit = idx <= a[:, None]
+            # stop at the first EOS (inclusive), budget, cache capacity
+            eos_hit = (g == eos) & emit
+            after = jnp.cumsum(eos_hit.astype(jnp.int32), axis=1) - eos_hit
+            emit = emit & (after == 0)
+            emit = emit & (idx < remaining[:, None])
+            emit = emit & (cache["length"][:, None] + idx <= max_seq_len - 1)
+            emit = emit & active[:, None]
+            n_emit = jnp.sum(emit.astype(jnp.int32), axis=1)
+
+            last_idx = jnp.maximum(n_emit - 1, 0)
+            last = jnp.take_along_axis(g, last_idx[:, None], axis=1)[:, 0]
+            tokens = jnp.where(n_emit > 0, last, tokens)
+            finished_eos = jnp.any(eos_hit & emit, axis=1)
+            length = cache["length"] + n_emit
+            remaining = remaining - n_emit
+            active = (active & ~finished_eos & (remaining > 0)
+                      & (length < max_seq_len))
+            # history: committed tokens g_i land at length_old + 1 + i;
+            # non-emitted positions scatter out of bounds (dropped)
+            p = jnp.where(emit, cache["length"][:, None] + 1 + idx, Lh)
+            history = history.at[jnp.arange(B)[:, None], p].set(g)
+            cache = {"k": new_cache["k"], "v": new_cache["v"],
+                     "length": length}
+            return cache, history, tokens, active, remaining, g, emit
+
+        def decode(params, state):
+            cache = {"k": state["k"], "v": state["v"],
+                     "length": state["length"]}
+
+            def body(carry, _):
+                cache, history, tokens, active, remaining = carry
+                cache, history, tokens, active, remaining, g, emit = (
+                    one_step(params, cache, history, tokens, active,
+                             remaining))
+                return (cache, history, tokens, active, remaining), (g, emit)
+
+            (cache, history, tokens, active, remaining), (gs, emits) = (
+                jax.lax.scan(
+                    body,
+                    (cache, state["history"], state["tokens"],
+                     state["active"], state["remaining"]),
+                    None, length=n_steps))
+            state = {
+                **state,
+                "k": cache["k"], "v": cache["v"], "length": cache["length"],
+                "history": history, "tokens": tokens, "active": active,
+                "remaining": remaining,
+            }
+            return state, (gs, emits)
 
         return jax.jit(decode, donate_argnums=(1,))
 
@@ -1323,6 +1476,9 @@ class ServingEngine:
         if not self.active.any():
             return bool(self.queue)
 
+        if self.spec_k:
+            return self._spec_step()
+
         # Shrink the final chunk to the tightest active slot's headroom
         # (power-of-two variants bound the compile count) instead of
         # force-finishing slots with budget remaining.
@@ -1374,6 +1530,50 @@ class ServingEngine:
         if self.paged:
             # the fold moved this chunk's ring rows into the pages
             self.pages_length = self.lengths.copy()
+        return bool(self.queue) or bool(self.active.any())
+
+    def _spec_step(self) -> bool:
+        """Speculative decode chunk + host-mirror advance. Capacity,
+        budget and EOS are enforced IN-GRAPH by the emit mask, so the
+        mirrors just replay it."""
+        n_steps = (1 if (self.cfg.prefill_group_cap and self.queue)
+                   else self.decode_chunk)
+        fn = self._get_spec_decode_fn(n_steps)
+        self.state, (gs, emits) = fn(self.params, self.state)
+        gs = np.asarray(gs)          # (n_steps, slots, k+1)
+        ems = np.asarray(emits)
+        # acceptance accounting: verify steps that had >= 1 active slot,
+        # and tokens committed — tokens/step is the speculative speedup
+        # over one-token-at-a-time decode
+        live = ems.any(axis=2)       # (n_steps, slots)
+        self.spec_verify_steps = (getattr(self, "spec_verify_steps", 0)
+                                  + int(live.any(axis=1).sum()))
+        self.spec_slot_steps = (getattr(self, "spec_slot_steps", 0)
+                                + int(live.sum()))
+        self.spec_emitted = (getattr(self, "spec_emitted", 0)
+                             + int(ems.sum()))
+        for s in range(gs.shape[0]):
+            for slot in range(self.cfg.max_slots):
+                req = self.slot_request[slot]
+                if req is None or not self.active[slot]:
+                    continue
+                for i in range(gs.shape[2]):
+                    if not ems[s, slot, i]:
+                        continue
+                    tok = int(gs[s, slot, i])
+                    req.tokens.append(tok)
+                    self.slot_generated[slot] += 1
+                    self.lengths[slot] += 1
+                    self.last_tokens[slot] = tok
+                    if tok == self.eos_id:
+                        self._finish(slot, reason="eos")
+                        break
+                if (self.slot_request[slot] is not None
+                        and self.active[slot]):
+                    if self.slot_generated[slot] >= self.slot_budget[slot]:
+                        self._finish(slot, reason="budget")
+                    elif self.lengths[slot] >= self.cfg.max_seq_len:
+                        self._finish(slot, reason="capacity")
         return bool(self.queue) or bool(self.active.any())
 
     def run(self) -> None:

@@ -1,0 +1,103 @@
+"""Greedy n-gram speculative decoding: EXACT parity with the plain
+greedy engine (the accept rule commits only draft prefixes the argmax
+agrees with, so drafts can only change speed, never output), plus
+EOS/budget bookkeeping and config validation."""
+
+import jax
+import numpy as np
+import pytest
+
+from multimeditron_tpu.models.multimodal import MultimodalModel
+from multimeditron_tpu.serve.engine import EngineConfig, ServingEngine
+from tests.test_multimodal import tiny_mm_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MultimodalModel(tiny_mm_config())
+    model.config.eos_token_idx = 2
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _batch(ids):
+    ids = np.asarray([ids], np.int32)
+    return {"input_ids": ids, "attention_mask": np.ones_like(ids)}
+
+
+def _engine(model, params, spec_k=0, **kw):
+    base = dict(max_slots=4, max_seq_len=96, max_new_tokens=24,
+                prefill_buckets=(16, 32), do_sample=False, kv_mode="slab")
+    base.update(kw)
+    return ServingEngine(model, params,
+                         EngineConfig(speculative_k=spec_k, **base))
+
+
+PROMPTS = [
+    list(range(4, 16)),                      # plain
+    [7, 8, 9, 7, 8, 9, 7, 8, 9, 7, 8],      # repetitive (high acceptance)
+    [5, 6, 5, 6, 5],                         # short bigram loop
+    list(range(20, 4, -1)),                  # descending
+]
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_spec_matches_plain_greedy(setup, k):
+    model, params = setup
+    batches = [_batch(p) for p in PROMPTS]
+    plain = _engine(model, params).generate(batches, max_new_tokens=24)
+    spec = _engine(model, params, spec_k=k).generate(
+        batches, max_new_tokens=24)
+    assert spec == plain
+
+
+def test_spec_budget_respected(setup):
+    model, params = setup
+    eng = _engine(model, params, spec_k=3)
+    reqs = [eng.submit(_batch(p), max_new_tokens=5) for p in PROMPTS[:2]]
+    eng.run()
+    for r in reqs:
+        assert len(r.tokens) <= 5
+        assert r.done and r.finish_reason in ("budget", "eos")
+    plain = _engine(model, params).generate(
+        [_batch(p) for p in PROMPTS[:2]], max_new_tokens=5)
+    assert [r.tokens for r in reqs] == plain
+
+
+def test_spec_capacity_finish(setup):
+    model, params = setup
+    eng = _engine(model, params, spec_k=3, max_seq_len=40,
+                  max_new_tokens=64)
+    req = eng.submit(_batch(PROMPTS[0]), max_new_tokens=64)
+    eng.run()
+    assert req.done
+    # 12-token prompt in a 40-slot cache: the run ends on capacity (or
+    # an earlier eos if the random model emits one)
+    assert req.finish_reason in ("capacity", "eos")
+    assert len(req.tokens) <= 40 - 12 + 1
+
+
+def test_spec_requires_slab_and_greedy(setup):
+    model, params = setup
+    with pytest.raises(ValueError, match="slab"):
+        _engine(model, params, spec_k=2, kv_mode="paged")
+    with pytest.raises(ValueError, match="do_sample"):
+        _engine(model, params, spec_k=2, do_sample=True)
+
+
+def test_spec_continuous_batching_joins(setup):
+    """A request admitted mid-flight (continuous batching) decodes
+    correctly alongside running speculative slots."""
+    model, params = setup
+    eng = _engine(model, params, spec_k=3, max_slots=2)
+    r1 = eng.submit(_batch(PROMPTS[0]), max_new_tokens=20)
+    eng.step()
+    eng.step()
+    r2 = eng.submit(_batch(PROMPTS[1]), max_new_tokens=12)
+    eng.run()
+    assert r1.done and r2.done
+    plain = _engine(model, params, max_slots=2)
+    p1 = plain.generate([_batch(PROMPTS[0])], max_new_tokens=20)[0]
+    p2 = plain.generate([_batch(PROMPTS[1])], max_new_tokens=12)[0]
+    assert r1.tokens == p1
+    assert r2.tokens == p2
