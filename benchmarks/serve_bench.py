@@ -71,8 +71,6 @@ def main():
 
     if args.init_quantized:
         args.quantize_llm = True
-    if args.speculative_k:
-        args.kv_mode = "slab"
     llm = LlamaConfig(
         vocab_size=args.vocab, hidden_size=args.hidden,
         intermediate_size=args.intermediate or int(args.hidden * 2.75),

@@ -372,27 +372,51 @@ def _layer(
         # the while loop. The Pallas kernel attends over pages + ring.
         # The engine folds the ring into the pages between chunks
         # (ops.paged_attention.fold_ring_into_pages).
-        assert S == 1, f"paged decode supports single-token steps, got S={S}"
-        from multimeditron_tpu.ops.paged_attention import ring_decode_attention
+        from multimeditron_tpu.ops.paged_attention import (
+            ring_decode_attention,
+            ring_verify_attention_xla,
+        )
 
         pages_len = layer_cache["pages_length"]
         rk, rv = layer_cache["ring_k"], layer_cache["ring_v"]
-        # in-chunk row: active slots all advanced identically since the
-        # chunk started, so the max generation offset IS the step index
-        t = jnp.max(cache_lengths - pages_len)
-        # k/v: (B, Hkv, S=1, Dh) -> update block (1, B, Hkv, 1, Dh)
-        rk = jax.lax.dynamic_update_slice(
-            rk, k.astype(rk.dtype)[None], (layer_index, 0, 0, t, 0),
-        )
-        rv = jax.lax.dynamic_update_slice(
-            rv, v.astype(rv.dtype)[None], (layer_index, 0, 0, t, 0),
-        )
-        out = ring_decode_attention(
-            q[:, :, 0, :], layer_cache["k"], layer_cache["v"], rk, rv,
-            page_table, pages_len, cache_lengths, layer_index,
-            impl=attn_impl,
-        )
-        out = out[:, :, None, :]
+        if S == 1:
+            # in-chunk row: active slots all advanced identically since
+            # the chunk started, so the max generation offset IS the
+            # step index
+            t = jnp.max(cache_lengths - pages_len)
+            # k/v: (B, Hkv, S=1, Dh) -> update block (1, B, Hkv, 1, Dh)
+            rk = jax.lax.dynamic_update_slice(
+                rk, k.astype(rk.dtype)[None], (layer_index, 0, 0, t, 0),
+            )
+            rv = jax.lax.dynamic_update_slice(
+                rv, v.astype(rv.dtype)[None], (layer_index, 0, 0, t, 0),
+            )
+            out = ring_decode_attention(
+                q[:, :, 0, :], layer_cache["k"], layer_cache["v"], rk, rv,
+                page_table, pages_len, cache_lengths, layer_index,
+                impl=attn_impl,
+            )
+            out = out[:, :, None, :]
+        else:
+            # Speculative VERIFY block. Contract: the engine folds the
+            # ring into the pages after EVERY verify step, so all slots
+            # enter with pages_len == length and the block lands at ring
+            # rows [t, t+S) with ONE dynamic_update_slice (a per-slot
+            # advanced scatter here cost ~28 ms/step at 8B — XLA lowers
+            # it to many small slice writes). The multi-query attention
+            # handles the general per-slot ring masking regardless.
+            t = jnp.max(cache_lengths - pages_len)
+            # k/v: (B, Hkv, S, Dh) -> update block (1, B, Hkv, S, Dh)
+            rk = jax.lax.dynamic_update_slice(
+                rk, k.astype(rk.dtype)[None], (layer_index, 0, 0, t, 0),
+            )
+            rv = jax.lax.dynamic_update_slice(
+                rv, v.astype(rv.dtype)[None], (layer_index, 0, 0, t, 0),
+            )
+            out = ring_verify_attention_xla(
+                q, layer_cache["k"], layer_cache["v"], rk, rv,
+                page_table, pages_len, cache_lengths, layer_index,
+            )
         new_cache = {"k": layer_cache["k"], "v": layer_cache["v"],
                      "ring_k": rk, "ring_v": rv}
     elif layer_cache is not None:

@@ -333,6 +333,71 @@ def ring_decode_attention_xla(
     return out.astype(q.dtype)
 
 
+def ring_verify_attention_xla(
+    q: jax.Array,              # (B, H, S, D) — the speculative block
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    k_ring: jax.Array,
+    v_ring: jax.Array,
+    page_table: jax.Array,
+    pages_len: jax.Array,
+    lengths: jax.Array,
+    layer_index: jax.Array,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Multi-query ring attention for SPECULATIVE verify blocks: query i
+    sits at global position ``lengths + i``; it attends every page row
+    (< pages_len <= lengths) and ring rows j with pages_len + j <=
+    lengths + i — which makes the freshly-written block rows causal
+    within the block (row of token i is ring row lengths-pages_len+i).
+    Gather-based (the S=1 Pallas streaming kernel stays the plain-decode
+    fast path; the verify block amortizes the gather over k+1 queries).
+    """
+    B, H, S, D = q.shape
+    _, Hkv, _, P, _ = k_pages.shape
+    pm = page_table.shape[1]
+    T = k_ring.shape[3]
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+
+    kl = jax.lax.dynamic_index_in_dim(k_pages, layer_index, 0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(v_pages, layer_index, 0, keepdims=False)
+    k = jnp.take(kl, page_table, axis=1).transpose(1, 0, 2, 3, 4)
+    v = jnp.take(vl, page_table, axis=1).transpose(1, 0, 2, 3, 4)
+    k = k.reshape(B, Hkv, pm * P, D)
+    v = v.reshape(B, Hkv, pm * P, D)
+    rk = jax.lax.dynamic_index_in_dim(k_ring, layer_index, 0, keepdims=False)
+    rv = jax.lax.dynamic_index_in_dim(v_ring, layer_index, 0, keepdims=False)
+    k = jnp.concatenate([k, rk.astype(k.dtype)], axis=2)
+    v = jnp.concatenate([v, rv.astype(v.dtype)], axis=2)
+
+    # GQA WITHOUT materializing the head repeat (a jnp.repeat here cost
+    # group x the gathered K/V bytes — ~6 GB of pure traffic per 8B
+    # verify step): fold the group into the query tensor instead.
+    group = H // Hkv
+    qg = q.reshape(B, Hkv, group, S, D)
+
+    qi = jnp.arange(S)[None, :, None]                       # (1, S, 1)
+    page_mask = jnp.broadcast_to(
+        (jnp.arange(pm * P)[None, None, :] < pages_len[:, None, None]),
+        (B, S, pm * P))
+    ring_mask = (jnp.arange(T)[None, None, :]
+                 <= (lengths - pages_len)[:, None, None] + qi)
+    mask = jnp.concatenate([page_mask, ring_mask],
+                           axis=2)[:, None, None]           # (B,1,1,S,N)
+
+    s = jnp.einsum("bigsd,bind->bigsn", qg, k,
+                   preferred_element_type=jnp.float32)
+    s = jnp.where(mask, s * sm_scale, MASK_VALUE)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.where(mask, jnp.exp(s - m), 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bigsn,bind->bigsd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    out = out / jnp.maximum(l, 1e-30)
+    return out.reshape(B, H, S, D).astype(q.dtype)
+
+
 def _ring_decode_kernel(
     layer_ref, table_ref, plen_ref, len_ref,   # scalar prefetch (SMEM)
     q_ref, rk_ref, rv_ref,                     # VMEM blocks (per slot)

@@ -75,7 +75,9 @@ class EngineConfig:
     # Pool pages (incl. the reserved trash page 0). Default sizes the pool
     # to the slab capacity; set lower to cap KV memory.
     num_pages: Optional[int] = None
-    # Greedy n-gram SPECULATIVE decoding (slab kv_mode, do_sample=False).
+    # Greedy n-gram SPECULATIVE decoding (do_sample=False; paged AND
+    # slab kv modes — paged verify writes position-keyed ring rows and
+    # attends through the multi-query gather path).
     # k > 0 replaces the token-at-a-time decode with verify steps: each
     # step drafts k continuation tokens IN-GRAPH from a device-resident
     # token history (most recent earlier occurrence of the current
@@ -216,6 +218,11 @@ class ServingEngine:
             raise ValueError(f"kv_mode must be paged|slab, got {cfg.kv_mode!r}")
         self.paged = cfg.kv_mode == "paged"
         self.decode_chunk = max(1, cfg.decode_chunk)
+        self.spec_k = max(0, cfg.speculative_k)
+        if self.spec_k and cfg.do_sample:
+            raise ValueError(
+                "speculative_k requires do_sample=False (greedy "
+                "verify guarantees exact-match outputs)")
         if self.paged:
             P = cfg.page_size
             for b in cfg.prefill_buckets:
@@ -226,9 +233,17 @@ class ServingEngine:
             self.page_size = P
             self.pages_max = -(-cfg.max_seq_len // P)
             n_pages = cfg.num_pages or (1 + cfg.max_slots * self.pages_max)
+            # Speculative verify: the ring holds ONE (k+1)-token block
+            # (folded into the pages after every verify step — see
+            # _build_spec_decode_fn); plain decode keeps a chunk's rows.
+            ring_size = (max(self.decode_chunk, self.spec_k + 2)
+                         if self.spec_k else self.decode_chunk)
+            if ring_size > P:
+                raise ValueError(
+                    f"ring ({ring_size} rows) must fit one page ({P})")
             cache = init_paged_kv_cache(
                 llm, n_pages, P, self.pages_max, cfg.max_slots,
-                ring_size=self.decode_chunk,
+                ring_size=ring_size,
             )
             self.num_pages = n_pages
             # host-side allocator state; page 0 = trash (never allocated).
@@ -282,16 +297,7 @@ class ServingEngine:
             self.state["page_table"] = jnp.zeros(
                 (cfg.max_slots, self.pages_max), jnp.int32)
             self.state["pages_length"] = jnp.zeros((cfg.max_slots,), jnp.int32)
-        self.spec_k = max(0, cfg.speculative_k)
         if self.spec_k:
-            if self.paged:
-                raise ValueError(
-                    "speculative_k requires kv_mode='slab' (the verify "
-                    "block writes K/V at per-slot variable offsets)")
-            if cfg.do_sample:
-                raise ValueError(
-                    "speculative_k requires do_sample=False (greedy "
-                    "verify guarantees exact-match outputs)")
             # committed-token history (prompt + generated) backing the
             # in-graph n-gram draft; + k+2 margin so masked scatter
             # writes can go out of bounds (dropped) instead of wrapping
@@ -709,6 +715,12 @@ class ServingEngine:
         k = self.spec_k
         max_seq_len = cfg.max_seq_len
         Lh = max_seq_len + k + 2
+        paged = self.paged
+        page_size = self.page_size if paged else None
+        cache_keys = (
+            ("k", "v", "ring_k", "ring_v", "length", "page_table",
+             "pages_length") if paged else ("k", "v", "length")
+        )
 
         def draft_one(history, length, last_tok):
             # committed tokens live at history[0..length] (length+1
@@ -737,6 +749,7 @@ class ServingEngine:
                 kv_cache=cache,
                 prefill=True,  # causal within the block at per-slot offsets
                 attn_impl=cfg.attn_impl,
+                page_size=page_size,
             )
             g = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(
                 jnp.int32)                               # (B, k+1)
@@ -765,13 +778,34 @@ class ServingEngine:
             # non-emitted positions scatter out of bounds (dropped)
             p = jnp.where(emit, cache["length"][:, None] + 1 + idx, Lh)
             history = history.at[jnp.arange(B)[:, None], p].set(g)
-            cache = {"k": new_cache["k"], "v": new_cache["v"],
+            cache = {**{k_: new_cache[k_] for k_ in cache_keys
+                        if k_ in new_cache},
                      "length": length}
+            if paged:
+                cache["page_table"] = new_cache["page_table"]
+                # fold EVERY verify step: accepted rows land in their
+                # pages, rejected rows (past each slot's new length) go
+                # to the trash page, and the next step's block writes at
+                # ring row 0 again with one dynamic_update_slice (the
+                # uniform-offset contract of the _layer verify branch).
+                # The Pallas page-RMW fold costs ~0.4 ms at 8B dims.
+                from multimeditron_tpu.ops.paged_attention import (
+                    fold_ring_into_pages,
+                )
+
+                kp, vp = fold_ring_into_pages(
+                    cache["k"], cache["v"],
+                    cache["ring_k"], cache["ring_v"],
+                    cache["page_table"], new_cache["pages_length"],
+                    cache["ring_k"].shape[3],
+                    lengths=length,
+                )
+                cache["k"], cache["v"] = kp, vp
+                cache["pages_length"] = length
             return cache, history, tokens, active, remaining, g, emit
 
         def decode(params, state):
-            cache = {"k": state["k"], "v": state["v"],
-                     "length": state["length"]}
+            cache = {k_: state[k_] for k_ in cache_keys}
 
             def body(carry, _):
                 cache, history, tokens, active, remaining = carry
@@ -786,9 +820,10 @@ class ServingEngine:
                     (cache, state["history"], state["tokens"],
                      state["active"], state["remaining"]),
                     None, length=n_steps))
+            # paged: already folded per verify step inside one_step
             state = {
                 **state,
-                "k": cache["k"], "v": cache["v"], "length": cache["length"],
+                **{k_: cache[k_] for k_ in cache_keys},
                 "history": history, "tokens": tokens, "active": active,
                 "remaining": remaining,
             }
@@ -1574,6 +1609,9 @@ class ServingEngine:
                         self._finish(slot, reason="budget")
                     elif self.lengths[slot] >= self.cfg.max_seq_len:
                         self._finish(slot, reason="capacity")
+        if self.paged:
+            # the fold moved this chunk's ring rows into the pages
+            self.pages_length = self.lengths.copy()
         return bool(self.queue) or bool(self.active.any())
 
     def run(self) -> None:

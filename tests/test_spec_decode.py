@@ -42,13 +42,24 @@ PROMPTS = [
 
 
 @pytest.mark.parametrize("k", [2, 4])
-def test_spec_matches_plain_greedy(setup, k):
+@pytest.mark.parametrize("kv_mode", ["slab", "paged"])
+def test_spec_matches_plain_greedy(setup, k, kv_mode):
     model, params = setup
     batches = [_batch(p) for p in PROMPTS]
-    plain = _engine(model, params).generate(batches, max_new_tokens=24)
-    spec = _engine(model, params, spec_k=k).generate(
+    plain = _engine(model, params, kv_mode=kv_mode).generate(
+        batches, max_new_tokens=24)
+    spec = _engine(model, params, spec_k=k, kv_mode=kv_mode).generate(
         batches, max_new_tokens=24)
     assert spec == plain
+
+
+def test_spec_paged_releases_pages(setup):
+    model, params = setup
+    eng = _engine(model, params, spec_k=3, kv_mode="paged")
+    total_free = len(eng.free_pages)
+    eng.generate([_batch(p) for p in PROMPTS], max_new_tokens=10)
+    assert len(eng.free_pages) == total_free
+    assert np.all(eng.slot_num_pages == 0)
 
 
 def test_spec_budget_respected(setup):
@@ -77,10 +88,8 @@ def test_spec_capacity_finish(setup):
     assert len(req.tokens) <= 40 - 12 + 1
 
 
-def test_spec_requires_slab_and_greedy(setup):
+def test_spec_requires_greedy(setup):
     model, params = setup
-    with pytest.raises(ValueError, match="slab"):
-        _engine(model, params, spec_k=2, kv_mode="paged")
     with pytest.raises(ValueError, match="do_sample"):
         _engine(model, params, spec_k=2, do_sample=True)
 
