@@ -322,7 +322,10 @@ class ServingEngine:
         # near its cache capacity run a SHORTER compiled chunk instead of
         # being force-finished with budgeted tokens unwritten.
         self._decode_fns: Dict[int, Callable] = {}
-        self._decode_fn = self._get_decode_fn(self.decode_chunk)
+        if not self.spec_k:
+            # speculative engines never run the plain chunk — skip its
+            # (minutes-long at 8B) compile
+            self._decode_fn = self._get_decode_fn(self.decode_chunk)
 
     def _shard_state(
         self, state: Dict[str, jax.Array],
