@@ -728,15 +728,23 @@ class ServingEngine:
         def draft_one(history, length, last_tok):
             # committed tokens live at history[0..length] (length+1
             # entries; history[length] == last_tok). Find the most
-            # recent EARLIER occurrence of the (prev, last) bigram and
-            # propose the k tokens that followed it. Any draft is
-            # CORRECT under greedy verify — a miss only costs speed.
+            # recent EARLIER occurrence of the current n-gram — a
+            # TRIGRAM match outranks any bigram match (longer context
+            # predicts the continuation better), most-recent wins
+            # within a rank — and propose the k tokens that followed
+            # it. Any draft is CORRECT under greedy verify — a miss
+            # only costs speed.
             pos = jnp.arange(Lh)
             prev = history[jnp.maximum(length - 1, 0)]
-            m = (jnp.roll(history, 1) == prev) & (history == last_tok)
+            prev2 = history[jnp.maximum(length - 2, 0)]
+            m2 = (jnp.roll(history, 1) == prev) & (history == last_tok)
+            m3 = m2 & (jnp.roll(history, 2) == prev2) & (length >= 2)
             valid = (pos >= 1) & (pos <= length - 1) & (length >= 1)
-            j = jnp.max(jnp.where(m & valid, pos, -1))
-            found = j >= 1
+            score = jnp.where(m3 & valid, pos + Lh,
+                              jnp.where(m2 & valid, pos, -1))
+            j_s = jnp.max(score)
+            found = j_s >= 1
+            j = jnp.where(j_s >= Lh, j_s - Lh, j_s)
             start = jnp.clip(j + 1, 0, Lh - k)
             cand = jax.lax.dynamic_slice(history, (start,), (k,))
             return jnp.where(found, cand, jnp.full((k,), last_tok))
