@@ -374,7 +374,7 @@ def _layer(
         # (ops.paged_attention.fold_ring_into_pages).
         from multimeditron_tpu.ops.paged_attention import (
             ring_decode_attention,
-            ring_verify_attention_xla,
+            ring_verify_attention,
         )
 
         pages_len = layer_cache["pages_length"]
@@ -413,9 +413,10 @@ def _layer(
             rv = jax.lax.dynamic_update_slice(
                 rv, v.astype(rv.dtype)[None], (layer_index, 0, 0, t, 0),
             )
-            out = ring_verify_attention_xla(
+            out = ring_verify_attention(
                 q, layer_cache["k"], layer_cache["v"], rk, rv,
                 page_table, pages_len, cache_lengths, layer_index,
+                impl=attn_impl,
             )
         new_cache = {"k": layer_cache["k"], "v": layer_cache["v"],
                      "ring_k": rk, "ring_v": rv}

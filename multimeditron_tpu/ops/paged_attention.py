@@ -404,8 +404,13 @@ def _ring_decode_kernel(
     kp_hbm, vp_hbm,                            # page pools (HBM)
     o_ref,
     k_buf, v_buf, copy_sems, m_scr, l_scr, acc_scr,  # scratch
-    *, sm_scale, page_size, pages_max, group, pages_group,
+    *, sm_scale, page_size, pages_max, group, pages_group, block_s=1,
 ):
+    # ``block_s`` > 1: SPECULATIVE verify block — each q head contributes
+    # block_s query rows (h-major, s-minor; ``group`` already includes
+    # the x block_s fan-out). Pages are valid for every row; the ring
+    # mask becomes per-row causal: row s attends ring rows r <= g + s
+    # (the verify block's own rows sit at ring rows g..g+block_s-1).
     # Grid (B, ng): ng groups of ``pages_group`` pages per slot, streamed
     # through double-buffered VMEM group buffers with an online-softmax
     # accumulator across groups — VMEM use is bounded by the group size,
@@ -523,7 +528,12 @@ def _ring_decode_kernel(
                 preferred_element_type=jnp.float32,
             ) * scale                                        # (grp, T)
             r = lax.broadcasted_iota(jnp.int32, sr.shape, 1)
-            sr = jnp.where(r <= g, sr, MASK_VALUE)
+            if block_s == 1:
+                sr = jnp.where(r <= g, sr, MASK_VALUE)
+            else:
+                s_row = lax.broadcasted_iota(
+                    jnp.int32, sr.shape, 0) % block_s
+                sr = jnp.where(r <= g + s_row, sr, MASK_VALUE)
 
             m_prev = m_scr[h]
             m_next = jnp.maximum(m_prev, jnp.max(sr, axis=1)[:, None])
@@ -619,6 +629,119 @@ def ring_decode_attention_pallas(
         lengths.astype(jnp.int32),
         q, k_ring, v_ring, k_pages, v_pages,
     )
+
+
+def ring_verify_attention_pallas(
+    q: jax.Array,              # (B, H, S, D) speculative block
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    k_ring: jax.Array,
+    v_ring: jax.Array,
+    page_table: jax.Array,
+    pages_len: jax.Array,
+    lengths: jax.Array,
+    layer_index: jax.Array,
+    sm_scale: Optional[float] = None,
+    interpret: bool = False,
+    pages_group: Optional[int] = None,
+) -> jax.Array:
+    """Streaming Pallas verify: the S=1 decode kernel generalized to
+    ``block_s`` query rows per head (h-major, s-minor layout) — pages
+    stream through the same double-buffered VMEM groups, and only the
+    per-row ring mask differs. Replaces the XLA gather path's ~6.7 ms
+    marginal at 8B dims (it materialized every gathered page)."""
+    B, H, S, D = q.shape
+    L_layers, Hkv, n_pages, P, Dk = k_pages.shape
+    pm = page_table.shape[1]
+    T = k_ring.shape[3]
+    assert D == Dk and v_pages.shape == k_pages.shape
+    assert H % Hkv == 0
+    group = H // Hkv
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+
+    import functools
+
+    dsize = jnp.dtype(k_pages.dtype).itemsize
+    page_bytes = Hkv * P * D * dsize
+    G = pages_group or max(1, int((8 * 1024 * 1024) // (4 * page_bytes)))
+    G = min(G, pm)
+    ng = -(-pm // G)
+    q2 = q.reshape(B, H * S, D)
+    grp_eff = group * S
+
+    def ring_index(b, jg, layer, *_):
+        return (layer[0], b, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, ng),
+        in_specs=[
+            pl.BlockSpec((1, H * S, D), lambda b, jg, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Hkv, T, D), ring_index),
+            pl.BlockSpec((1, 1, Hkv, T, D), ring_index),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, H * S, D), lambda b, jg, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, Hkv, G * P, D), k_pages.dtype),
+            pltpu.VMEM((2, Hkv, G * P, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, G, 2)),
+            pltpu.VMEM((Hkv, grp_eff, LANES), jnp.float32),
+            pltpu.VMEM((Hkv, grp_eff, LANES), jnp.float32),
+            pltpu.VMEM((Hkv, grp_eff, D), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _ring_decode_kernel,
+            sm_scale=float(sm_scale), page_size=P, pages_max=pm,
+            group=grp_eff, pages_group=G, block_s=S,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H * S, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer_index, jnp.int32).reshape(1),
+        page_table.astype(jnp.int32),
+        pages_len.astype(jnp.int32),
+        lengths.astype(jnp.int32),
+        q2, k_ring, v_ring, k_pages, v_pages,
+    )
+    return out.reshape(B, H, S, D)
+
+
+def ring_verify_attention(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    k_ring: jax.Array,
+    v_ring: jax.Array,
+    page_table: jax.Array,
+    pages_len: jax.Array,
+    lengths: jax.Array,
+    layer_index: jax.Array,
+    sm_scale: Optional[float] = None,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Dispatching entry point for the speculative verify block."""
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and q.shape[-1] % 128 != 0:
+        impl = "xla"
+    args = (q, k_pages, v_pages, k_ring, v_ring, page_table, pages_len,
+            lengths, layer_index, sm_scale)
+    if impl == "xla":
+        return ring_verify_attention_xla(*args)
+    if impl in ("pallas", "pallas_interpret"):
+        return ring_verify_attention_pallas(
+            *args, interpret=(impl == "pallas_interpret"))
+    raise ValueError(f"Unknown verify attention impl {impl!r}")
 
 
 def ring_decode_attention(

@@ -268,3 +268,98 @@ def test_fold_pallas_matches_xla():
                                np.asarray(want_k)[:, :, 1:], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(got_v)[:, :, 1:],
                                np.asarray(want_v)[:, :, 1:], rtol=1e-6)
+
+
+# ----------------------------------------------------------------------
+# Speculative verify block (multi-query)
+# ----------------------------------------------------------------------
+from multimeditron_tpu.ops.paged_attention import (  # noqa: E402
+    ring_verify_attention_pallas,
+    ring_verify_attention_xla,
+)
+
+
+def _verify_setup(key, B, H, Hkv, D, P, pm, pages_len, S, T=16):
+    """Verify-contract state: pages_len == lengths (the engine folds the
+    ring before every verify), the S block rows live at ring rows
+    [0, S)."""
+    gen = [0] * B
+    q1, kp, vp, rk, rv, table, plen, lens = _random_ring(
+        key, B, H, Hkv, D, P, pm, pages_len, gen, T=T)
+    q = jax.random.normal(jax.random.fold_in(key, 77), (B, H, S, D),
+                          q1.dtype)
+    return q, kp, vp, rk, rv, table, plen, lens
+
+
+def _verify_dense_reference(q, kp, vp, rk, rv, table, plen, lens, li):
+    """Per-query dense reference: query i attends pages (< plen) and
+    ring rows j <= (lens - plen) + i."""
+    B, H, S, D = q.shape
+    outs = []
+    for i in range(S):
+        Hkv, _, P, _ = kp[li].shape
+        pm = table.shape[1]
+        T = rk.shape[3]
+        k = jnp.take(kp[li], table, axis=1).transpose(1, 0, 2, 3, 4)
+        v = jnp.take(vp[li], table, axis=1).transpose(1, 0, 2, 3, 4)
+        k = jnp.concatenate([k.reshape(B, Hkv, pm * P, D), rk[li]], axis=2)
+        v = jnp.concatenate([v.reshape(B, Hkv, pm * P, D), rv[li]], axis=2)
+        page_mask = jnp.arange(pm * P)[None, :] < plen[:, None]
+        ring_mask = jnp.arange(T)[None, :] <= (lens - plen)[:, None] + i
+        kv_mask = jnp.concatenate([page_mask, ring_mask], axis=1)
+        out = attention_xla(q[:, :, i:i + 1, :], k, v, kv_mask=kv_mask,
+                            causal=False)
+        outs.append(out)
+    return jnp.concatenate(outs, axis=2)
+
+
+@pytest.mark.parametrize("pages_len", [[0, 5, 127, 256], [384, 1, 0, 300]])
+@pytest.mark.parametrize("group,S", [(2, 5), (4, 3), (1, 4)])
+def test_verify_xla_matches_dense(pages_len, group, S):
+    Hkv, D, P, pm = 2, 64, 128, 3
+    H = Hkv * group
+    q, kp, vp, rk, rv, table, plen, lens = _verify_setup(
+        jax.random.PRNGKey(2), len(pages_len), H, Hkv, D, P, pm,
+        pages_len, S)
+    li = jnp.int32(1)
+    got = ring_verify_attention_xla(q, kp, vp, rk, rv, table, plen, lens,
+                                    li)
+    want = _verify_dense_reference(q, kp, vp, rk, rv, table, plen, lens, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("pages_len", [[0, 5, 127, 256], [512, 1, 0, 300]])
+@pytest.mark.parametrize("group,S,D", [(2, 5, 128), (4, 3, 128)])
+def test_verify_pallas_interpret_matches_xla(pages_len, group, S, D):
+    Hkv, P, pm = 2, 128, 4
+    H = Hkv * group
+    q, kp, vp, rk, rv, table, plen, lens = _verify_setup(
+        jax.random.PRNGKey(3), len(pages_len), H, Hkv, D, P, pm,
+        pages_len, S)
+    li = jnp.int32(0)
+    got = ring_verify_attention_pallas(
+        q, kp, vp, rk, rv, table, plen, lens, li, interpret=True)
+    want = ring_verify_attention_xla(q, kp, vp, rk, rv, table, plen, lens,
+                                     li)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_verify_pallas_streamed_groups(capsys):
+    """pages_group < pm exercises the cross-group online softmax with
+    multi-row blocks."""
+    Hkv, P, pm, group, S, D = 2, 128, 4, 2, 4, 128
+    H = Hkv * group
+    pages_len = [512, 130, 0, 256]
+    q, kp, vp, rk, rv, table, plen, lens = _verify_setup(
+        jax.random.PRNGKey(4), len(pages_len), H, Hkv, D, P, pm,
+        pages_len, S)
+    li = jnp.int32(1)
+    got = ring_verify_attention_pallas(
+        q, kp, vp, rk, rv, table, plen, lens, li, interpret=True,
+        pages_group=2)
+    want = ring_verify_attention_xla(q, kp, vp, rk, rv, table, plen, lens,
+                                     li)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
