@@ -96,7 +96,7 @@ def _extra_metrics() -> dict:
     # layer shapes on one chip; extrapolate linearly in layer count
     # (benchmarks/mfu_8b_shard.py; VERDICT r3 #3).
     mfu8b = _run_json([py, bench("mfu_8b_shard.py"), "--steps", "3"],
-                      timeout=900)
+                      timeout=1500)
     return {
         "sft_mfu": mfu.get("mfu"),
         "sft_tokens_per_sec": mfu.get("tokens_per_sec"),
