@@ -75,9 +75,13 @@ class EngineConfig:
     # Pool pages (incl. the reserved trash page 0). Default sizes the pool
     # to the slab capacity; set lower to cap KV memory.
     num_pages: Optional[int] = None
-    # Greedy n-gram SPECULATIVE decoding (do_sample=False; paged AND
-    # slab kv modes — paged verify writes position-keyed ring rows and
-    # attends through the multi-query gather path).
+    # N-gram SPECULATIVE decoding (paged AND slab kv modes). Greedy
+    # (do_sample=False): outputs are EXACTLY the plain greedy decode.
+    # Sampling (do_sample=True): verify positions draw with
+    # POSITION-KEYED PRNG (key = fold(seed, slot, absolute position)),
+    # so every committed token is an exact sample from its true
+    # conditional and the generation is deterministic in (prompt, seed),
+    # independent of k. Acceptance = sampled token equals the draft.
     # k > 0 replaces the token-at-a-time decode with verify steps: each
     # step drafts k continuation tokens IN-GRAPH from a device-resident
     # token history (most recent earlier occurrence of the current
@@ -219,10 +223,6 @@ class ServingEngine:
         self.paged = cfg.kv_mode == "paged"
         self.decode_chunk = max(1, cfg.decode_chunk)
         self.spec_k = max(0, cfg.speculative_k)
-        if self.spec_k and cfg.do_sample:
-            raise ValueError(
-                "speculative_k requires do_sample=False (greedy "
-                "verify guarantees exact-match outputs)")
         if self.paged:
             P = cfg.page_size
             for b in cfg.prefill_buckets:
@@ -724,6 +724,7 @@ class ServingEngine:
             ("k", "v", "ring_k", "ring_v", "length", "page_table",
              "pages_length") if paged else ("k", "v", "length")
         )
+        filt = self._logits_filter()
 
         def draft_one(history, length, last_tok):
             # committed tokens live at history[0..length] (length+1
@@ -749,7 +750,8 @@ class ServingEngine:
             cand = jax.lax.dynamic_slice(history, (start,), (k,))
             return jnp.where(found, cand, jnp.full((k,), last_tok))
 
-        def one_step(params, cache, history, tokens, active, remaining):
+        def one_step(params, cache, history, tokens, active, remaining,
+                     temps, top_ps):
             B = tokens.shape[0]
             drafts = jax.vmap(draft_one)(history, cache["length"], tokens)
             block = jnp.concatenate([tokens[:, None], drafts], axis=1)
@@ -762,8 +764,37 @@ class ServingEngine:
                 attn_impl=cfg.attn_impl,
                 page_size=page_size,
             )
-            g = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(
-                jnp.int32)                               # (B, k+1)
+            logits = logits.astype(jnp.float32)          # (B, k+1, V)
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if cfg.do_sample:
+                # POSITION-KEYED sampling: token at absolute position p
+                # of slot b draws with key fold(seed, b*Lh + p). Every
+                # committed emission is then an exact sample from its
+                # true conditional (rejected positions re-sample next
+                # step with the same key but the CORRECTED context), and
+                # the whole generation is a deterministic function of
+                # (prompt, seed) independent of k — asserted in tests.
+                V = logits.shape[-1]
+                pos = cache["length"][:, None] + jnp.arange(k + 1)[None, :]
+                # k-INDEPENDENT key id stride: a first cut used Lh
+                # (= max_seq_len + k + 2) and slots >= 1 sampled with
+                # different keys per k, breaking the k-independence
+                # contract (caught by test_spec_sampling_independent_of_k)
+                ids = (jnp.arange(B)[:, None] * (1 << 20) + pos).reshape(-1)
+                keys = jax.vmap(
+                    lambda d: jax.random.fold_in(
+                        jax.random.PRNGKey(cfg.seed), d))(ids)
+                scaled = logits / jnp.maximum(
+                    temps, 1e-6)[:, None, None]
+                scaled = filt(
+                    scaled.reshape(-1, V),
+                    jnp.repeat(top_ps, k + 1))
+                sampled = jax.vmap(
+                    lambda key, row: jax.random.categorical(key, row)
+                )(keys, scaled).reshape(B, k + 1).astype(jnp.int32)
+                g = jnp.where(temps[:, None] > 1e-6, sampled, greedy)
+            else:
+                g = greedy
             match = (block[:, 1:] == g[:, :-1]).astype(jnp.int32)
             a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,)
             idx = jnp.arange(k + 1)[None, :]
@@ -822,7 +853,7 @@ class ServingEngine:
                 cache, history, tokens, active, remaining = carry
                 cache, history, tokens, active, remaining, g, emit = (
                     one_step(params, cache, history, tokens, active,
-                             remaining))
+                             remaining, state["temps"], state["top_ps"]))
                 return (cache, history, tokens, active, remaining), (g, emit)
 
             (cache, history, tokens, active, remaining), (gs, emits) = (

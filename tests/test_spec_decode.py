@@ -88,10 +88,37 @@ def test_spec_capacity_finish(setup):
     assert len(req.tokens) <= 40 - 12 + 1
 
 
-def test_spec_requires_greedy(setup):
+@pytest.mark.parametrize("kv_mode", ["slab", "paged"])
+def test_spec_sampling_independent_of_k(setup, kv_mode):
+    """Position-keyed speculative SAMPLING: the generation is a
+    deterministic function of (prompt, seed) and independent of the
+    draft length k — k=2 and k=5 engines must emit identical tokens."""
     model, params = setup
-    with pytest.raises(ValueError, match="do_sample"):
-        _engine(model, params, spec_k=2, do_sample=True)
+    batches = [_batch(p) for p in PROMPTS]
+
+    def run(k):
+        eng = _engine(model, params, spec_k=k, kv_mode=kv_mode,
+                      do_sample=True, temperature=1.3, seed=7)
+        return eng.generate(batches, max_new_tokens=20)
+
+    out2, out5 = run(2), run(5)
+    assert out2 == out5
+    # and it actually samples (greedy differs at this temperature)
+    greedy = _engine(model, params, spec_k=2, kv_mode=kv_mode,
+                     seed=7).generate(batches, max_new_tokens=20)
+    assert out2 != greedy
+
+
+def test_spec_sampling_respects_temperature_zero(setup):
+    """temps ~ 0 slots fall back to greedy inside the sampler."""
+    model, params = setup
+    eng = _engine(model, params, spec_k=3, do_sample=True,
+                  temperature=0.0)
+    out = eng.generate([_batch(p) for p in PROMPTS[:2]],
+                       max_new_tokens=12, temperature=0.0)
+    ref = _engine(model, params, spec_k=3).generate(
+        [_batch(p) for p in PROMPTS[:2]], max_new_tokens=12)
+    assert out == ref
 
 
 def test_spec_continuous_batching_joins(setup):
