@@ -37,9 +37,13 @@ def main():
                              "4,8,16,32): after the main sessions, measure "
                              "TTFT at each offered load on the same engine")
     parser.add_argument("--speculative-k", type=int, default=0,
-                        help="greedy n-gram speculative decode (forces "
-                             "kv-mode slab + do_sample=False); reports "
-                             "accepted tokens per verify step")
+                        help="n-gram speculative decode; greedy unless "
+                             "--spec-sample; reports accepted tokens "
+                             "per verify step")
+    parser.add_argument("--spec-sample", action="store_true",
+                        help="speculative decode WITH position-keyed "
+                             "sampling (temperature 0.7) instead of "
+                             "greedy verify")
     parser.add_argument("--w8a8-prefill", action="store_true",
                         help="int8-activation prefill for the quantized "
                              "LLM (2.5x the bf16-dequant prefill rate; "
@@ -120,7 +124,7 @@ def main():
             prefill_group_cap=args.prefill_group_cap or None,
             w8a8_prefill=args.w8a8_prefill,
             speculative_k=args.speculative_k,
-            do_sample=not args.speculative_k,
+            do_sample=(not args.speculative_k) or args.spec_sample,
         ),
     )
 
