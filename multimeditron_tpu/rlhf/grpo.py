@@ -87,6 +87,11 @@ class GRPOConfig:
     dp: Optional[int] = None
     fsdp: Optional[int] = None
     tp: int = 1
+    # N-gram speculative decoding for the rollout engine (round 5):
+    # position-keyed sampling keeps every rollout token an exact sample
+    # from the policy's conditional, so GRPO's logprob/advantage math is
+    # untouched — rollouts just finish faster on repetitive generations.
+    speculative_k: int = 0
 
 
 class GRPOTrainer:
@@ -135,6 +140,7 @@ class GRPOTrainer:
                 prefill_buckets=(64, 128, 256, cfg.seq_bucket),
                 temperature=cfg.temperature,
                 seed=cfg.seed,
+                speculative_k=cfg.speculative_k,
             ),
             mesh=self.mesh if self._use_mesh else None,
         )

@@ -1315,7 +1315,7 @@ class ServingEngine:
         sampler = self._make_sampler()
 
         def fork(state, last_logits, slot_ids, page_rows, src_page,
-                 dst_pages, plen, temps, top_ps, budgets, seed):
+                 dst_pages, plen, temps, top_ps, budgets, seed, src_slot):
             k, v = state["k"], state["v"]
             if copy_partial:
                 src_k = jax.lax.dynamic_slice_in_dim(k, src_page, 1, axis=2)
@@ -1341,6 +1341,15 @@ class ServingEngine:
                 "pages_length": state["pages_length"].at[slot_ids].set(lengths),
                 "page_table": state["page_table"].at[slot_ids].set(page_rows),
             }
+            if "history" in state:
+                # forks inherit the primary's committed-token history so
+                # speculative drafting works from the first step
+                hrow = jax.lax.dynamic_slice_in_dim(
+                    state["history"], src_slot, 1, axis=0)
+                hist = state["history"].at[slot_ids].set(
+                    jnp.broadcast_to(hrow, (n_forks, hrow.shape[1])))
+                hist = hist.at[slot_ids, lengths].set(first)
+                state["history"] = hist
             return state, first
 
         return jax.jit(fork, donate_argnums=(0,))
@@ -1393,7 +1402,7 @@ class ServingEngine:
             jnp.asarray(fork_slots_np), jnp.asarray(page_rows),
             jnp.int32(src_page), jnp.asarray(dst_pages), jnp.int32(plen),
             jnp.asarray(temps), jnp.asarray(top_ps), jnp.asarray(budgets),
-            self._next_seed(),
+            self._next_seed(), jnp.int32(slot0),
         )
         first_tokens = np.asarray(first_tokens)
         now = time.time()

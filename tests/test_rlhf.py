@@ -511,3 +511,41 @@ def test_dapo_loss_agg_seq_mean_differs():
     trainer.cfg = cfg
     assert np.isfinite(tok) and np.isfinite(seq)
     assert abs(tok - seq) > 1e-7
+
+
+def test_grpo_speculative_rollout():
+    """GRPOConfig.speculative_k: the rollout engine speculates (forks
+    inherit the primary's token history) and a training step still
+    produces finite losses and non-empty rollouts — sampling stays
+    exact (position-keyed), so the logprob/advantage math is untouched."""
+    model = MultimodalModel(tiny_mm_config())
+    model.config.eos_token_idx = 2
+    params = model.init_params(jax.random.PRNGKey(0))
+    collator = DataCollatorForMultimodal(
+        tokenizer=ToyTokenizer(),
+        modality_processors=model.processors(),
+        modality_loaders={},
+        attachment_token=ATTACH,
+        chat_template=ChatTemplate.llama(),
+        add_generation_prompt=True,
+        pad_to_multiple=8,
+    )
+    cfg = GRPOConfig(
+        group_size=2, prompts_per_step=2, max_new_tokens=6,
+        temperature=1.0, learning_rate=5e-3,
+        training_mode=TrainingMode.LM_ONLY, seq_bucket=64, max_slots=4,
+        kl_coef=0.0, speculative_k=3,
+    )
+    trainer = GRPOTrainer(model, params, collator, cfg)
+    prompts = [
+        {"sample": {"conversations": [{"role": "user", "content": "go"}],
+                    "modalities": []},
+         "data_source": "char_count", "ground_truth": "7"},
+        {"sample": {"conversations": [{"role": "user", "content": "now"}],
+                    "modalities": []},
+         "data_source": "char_count", "ground_truth": "7"},
+    ]
+    history = trainer.fit(prompts, num_steps=2)
+    assert all(np.isfinite(h["loss"]) for h in history)
+    # forks actually speculated (history copied -> acceptance counters)
+    assert getattr(trainer.engine, "spec_slot_steps", 0) > 0
