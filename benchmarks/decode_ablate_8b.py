@@ -40,6 +40,9 @@ def main():
     parser.add_argument("--kv-heads", type=int, default=8)
     parser.add_argument("--intermediate", type=int, default=14336)
     parser.add_argument("--vocab", type=int, default=128256)
+    parser.add_argument("--no-fuse", action="store_true",
+                        help="unfused per-projection weights (the "
+                             "pre-round-5 layout)")
     parser.add_argument("--json", action="store_true")
     args = parser.parse_args()
 
@@ -59,8 +62,8 @@ def main():
         num_layers=args.layers, num_heads=args.heads,
         num_kv_heads=args.kv_heads, dtype=jnp.bfloat16,
     )
-    params = jax.jit(lambda k: init_quantized_llama_params(k, cfg))(
-        jax.random.PRNGKey(0))
+    params = jax.jit(lambda k: init_quantized_llama_params(
+        k, cfg, fuse=not args.no_fuse))(jax.random.PRNGKey(0))
     weight_bytes = sum(
         x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
     B = args.slots
@@ -68,16 +71,27 @@ def main():
     D, I = cfg.hidden_size, cfg.intermediate_size
 
     def layer_mats(x, lp):
-        q = wo_matmul(x, lp["q_proj_q"], lp["q_proj_s"])
-        k = wo_matmul(x, lp["k_proj_q"], lp["k_proj_s"])
-        v = wo_matmul(x, lp["v_proj_q"], lp["v_proj_s"])
+        if "qkv_q" in lp:
+            qkv = wo_matmul(x, lp["qkv_q"], lp["qkv_s"])
+            Dq, Dkv = H * Dh, Hkv * Dh
+            q = qkv[:, :Dq]
+            k = qkv[:, Dq:Dq + Dkv]
+            v = qkv[:, Dq + Dkv:]
+        else:
+            q = wo_matmul(x, lp["q_proj_q"], lp["q_proj_s"])
+            k = wo_matmul(x, lp["k_proj_q"], lp["k_proj_s"])
+            v = wo_matmul(x, lp["v_proj_q"], lp["v_proj_s"])
         o = wo_matmul(q, lp["o_proj_q"], lp["o_proj_s"])
         # consume k/v through full-width row reductions so XLA cannot
         # DCE their dots (a *0 coupling zeroed this variant out entirely)
         x = x + o + (jnp.max(k, axis=-1, keepdims=True)
                      + jnp.max(v, axis=-1, keepdims=True)) * 1e-30
-        g = wo_matmul(x, lp["gate_proj_q"], lp["gate_proj_s"])
-        u = wo_matmul(x, lp["up_proj_q"], lp["up_proj_s"])
+        if "gateup_q" in lp:
+            gu = wo_matmul(x, lp["gateup_q"], lp["gateup_s"])
+            g, u = gu[:, :I], gu[:, I:]
+        else:
+            g = wo_matmul(x, lp["gate_proj_q"], lp["gate_proj_s"])
+            u = wo_matmul(x, lp["up_proj_q"], lp["up_proj_s"])
         x = x + wo_matmul(
             (jax.nn.silu(g.astype(jnp.float32)) * u).astype(x.dtype),
             lp["down_proj_q"], lp["down_proj_s"])

@@ -341,11 +341,22 @@ def _layer(
     if sp:
         x = _sp_constrain(x, ("dp", "fsdp"), "sp", None)
     h = rms_norm(x, layer_params["input_norm"], cfg.rms_norm_eps)
-    # W8A8 prefill: quantize h once, share across the q/k/v dots
-    hq = _maybe_quantize_act(h, layer_params, cfg)
-    q = _proj(h, layer_params, "q_proj", hq).reshape(B, S, H, Dh)
-    k = _proj(h, layer_params, "k_proj", hq).reshape(B, S, Hkv, Dh)
-    v = _proj(h, layer_params, "v_proj", hq).reshape(B, S, Hkv, Dh)
+    if "qkv_q" in layer_params:
+        # fused int8 QKV: ONE streamed weight read per layer (decode is
+        # weight-read bound; small per-projection reads stream at half
+        # rate — see llama_quant._fuse_layers)
+        hq = _maybe_quantize_act(h, layer_params, cfg, "qkv")
+        qkv = _proj(h, layer_params, "qkv", hq)
+        Dq, Dkv = H * Dh, Hkv * Dh
+        q = qkv[..., :Dq].reshape(B, S, H, Dh)
+        k = qkv[..., Dq:Dq + Dkv].reshape(B, S, Hkv, Dh)
+        v = qkv[..., Dq + Dkv:].reshape(B, S, Hkv, Dh)
+    else:
+        # W8A8 prefill: quantize h once, share across the q/k/v dots
+        hq = _maybe_quantize_act(h, layer_params, cfg)
+        q = _proj(h, layer_params, "q_proj", hq).reshape(B, S, H, Dh)
+        k = _proj(h, layer_params, "k_proj", hq).reshape(B, S, Hkv, Dh)
+        v = _proj(h, layer_params, "v_proj", hq).reshape(B, S, Hkv, Dh)
     if cfg.use_qk_norm:
         q = rms_norm(q, layer_params["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer_params["k_norm"], cfg.rms_norm_eps)
@@ -467,21 +478,28 @@ def _layer(
                   _maybe_quantize_act(out, layer_params, cfg, "o_proj"))
 
     h = rms_norm(x, layer_params["post_attn_norm"], cfg.rms_norm_eps)
-    hq2 = _maybe_quantize_act(h, layer_params, cfg, "up_proj")
-    up = _proj(h, layer_params, "up_proj", hq2).astype(jnp.float32)
-    if cfg.mlp_gate:
-        gate = jax.nn.silu(
-            _proj(h, layer_params, "gate_proj", hq2).astype(jnp.float32)
-        )
-        act = gate * up
-    elif cfg.hidden_act == "xielu":
-        from multimeditron_tpu.models.common import xielu
-
-        act = xielu(
-            up, layer_params["xielu_alpha_p"], layer_params["xielu_alpha_n"]
-        )
+    if "gateup_q" in layer_params:
+        hq2 = _maybe_quantize_act(h, layer_params, cfg, "gateup")
+        gu = _proj(h, layer_params, "gateup", hq2).astype(jnp.float32)
+        I = gu.shape[-1] // 2
+        act = jax.nn.silu(gu[..., :I]) * gu[..., I:]
     else:
-        act = getattr(jax.nn, cfg.hidden_act)(up)
+        hq2 = _maybe_quantize_act(h, layer_params, cfg, "up_proj")
+        up = _proj(h, layer_params, "up_proj", hq2).astype(jnp.float32)
+        if cfg.mlp_gate:
+            gate = jax.nn.silu(
+                _proj(h, layer_params, "gate_proj", hq2).astype(jnp.float32)
+            )
+            act = gate * up
+        elif cfg.hidden_act == "xielu":
+            from multimeditron_tpu.models.common import xielu
+
+            act = xielu(
+                up, layer_params["xielu_alpha_p"],
+                layer_params["xielu_alpha_n"]
+            )
+        else:
+            act = getattr(jax.nn, cfg.hidden_act)(up)
     act = act.astype(h.dtype)
     x = x + _proj(act, layer_params, "down_proj",
                   _maybe_quantize_act(act, layer_params, cfg, "down_proj"))

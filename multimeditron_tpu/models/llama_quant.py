@@ -40,10 +40,39 @@ def _quantize_stacked(w: jax.Array):
     return q, scale
 
 
-def quantize_llama_params(params: Params, cfg: LlamaConfig) -> Params:
+def _fuse_layers(qlayers: Params) -> Params:
+    """Merge q/k/v (and gate/up) int8 tensors into single fused weights.
+
+    Decode is weight-READ bound and the 1B-scale per-projection reads
+    are small enough that XLA streams them at only ~370 GB/s
+    (benchmarks/decode_ablate_8b.py --hidden 2048: 2.6 ms/step vs the
+    757 GB/s the 8B-size reads reach) — one fused (D, Hq+2Hkv) read per
+    layer recovers large-read streaming AND drops per-dot overhead.
+    NOT used under tensor parallelism (the tp sharding rules split
+    q/k/v along their own output axes)."""
+    out = dict(qlayers)
+    if all(k in out for k in ("q_proj_q", "k_proj_q", "v_proj_q")):
+        out["qkv_q"] = jnp.concatenate(
+            [out.pop("q_proj_q"), out.pop("k_proj_q"),
+             out.pop("v_proj_q")], axis=-1)
+        out["qkv_s"] = jnp.concatenate(
+            [out.pop("q_proj_s"), out.pop("k_proj_s"),
+             out.pop("v_proj_s")], axis=-1)
+    if all(k in out for k in ("gate_proj_q", "up_proj_q")):
+        out["gateup_q"] = jnp.concatenate(
+            [out.pop("gate_proj_q"), out.pop("up_proj_q")], axis=-1)
+        out["gateup_s"] = jnp.concatenate(
+            [out.pop("gate_proj_s"), out.pop("up_proj_s")], axis=-1)
+    return out
+
+
+def quantize_llama_params(params: Params, cfg: LlamaConfig,
+                          fuse: bool = True) -> Params:
     """Return a serving tree: projections as ``{key}_q``/``{key}_s``,
     ``lm_head_q``/``lm_head_s`` (built from the tied embedding when the
-    model has no separate head), everything else untouched."""
+    model has no separate head), everything else untouched. ``fuse``
+    merges qkv and gate/up into single streamed tensors (pass False
+    under tensor parallelism)."""
     lp = params["layers"]
     qlayers = dict(lp)
     for key in _PROJ_KEYS:
@@ -53,6 +82,8 @@ def quantize_llama_params(params: Params, cfg: LlamaConfig) -> Params:
         qlayers[key + "_q"] = q
         qlayers[key + "_s"] = s
         del qlayers[key]
+    if fuse:
+        qlayers = _fuse_layers(qlayers)
     out = dict(params)
     out["layers"] = qlayers
 
@@ -68,10 +99,12 @@ def quantize_llama_params(params: Params, cfg: LlamaConfig) -> Params:
 
 
 def is_quantized(params: Params) -> bool:
-    return "q_proj_q" in params.get("layers", {})
+    lp = params.get("layers", {})
+    return "q_proj_q" in lp or "qkv_q" in lp
 
 
-def init_quantized_llama_params(key: jax.Array, cfg: LlamaConfig) -> Params:
+def init_quantized_llama_params(key: jax.Array, cfg: LlamaConfig,
+                                fuse: bool = True) -> Params:
     """Random ALREADY-QUANTIZED serving tree, built on device.
 
     For benchmarking at 8B scale: ``init_llama_params`` +
@@ -111,6 +144,8 @@ def init_quantized_llama_params(key: jax.Array, cfg: LlamaConfig) -> Params:
         q, s = qw(k, shape, fan)
         layers[name + "_q"] = q
         layers[name + "_s"] = s
+    if fuse:
+        layers = _fuse_layers(layers)
 
     embed = (jax.random.normal(keys[7], (cfg.vocab_size, D), jnp.float32)
              * (D ** -0.5)).astype(cfg.dtype)

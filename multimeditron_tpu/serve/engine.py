@@ -210,8 +210,13 @@ class ServingEngine:
             )
 
             if not is_quantized(params["llm"]):
+                # fused qkv/gateup weights stream better at decode (one
+                # large read per layer) but are incompatible with the tp
+                # sharding rules, which split q/k/v on their own axes
                 params = {**params,
-                          "llm": quantize_llama_params(params["llm"], llm)}
+                          "llm": quantize_llama_params(
+                              params["llm"], llm,
+                              fuse=self.mesh is None)}
         if self.mesh is not None:
             from multimeditron_tpu.parallel.sharding import shard_params
 
