@@ -644,19 +644,31 @@ class ServingEngine:
             def body(carry, _):
                 cache, tokens, active, remaining, key = carry
                 key, sub = jax.random.split(key)
-                cache, next_tokens = one_step(
-                    params, cache, tokens, active, state["temps"],
-                    state["top_ps"], sub
-                )
-                # the token just produced consumed one unit of budget;
-                # deactivate on EOS, exhausted budget, or a full cache
-                remaining = remaining - active.astype(jnp.int32)
-                active = (
-                    active
-                    & (next_tokens != eos)
-                    & (remaining > 0)
-                    & (cache["length"] < max_seq_len)
-                )
+
+                def live(_):
+                    new_cache, next_tokens = one_step(
+                        params, cache, tokens, active, state["temps"],
+                        state["top_ps"], sub
+                    )
+                    # the token just produced consumed one unit of
+                    # budget; deactivate on EOS, exhausted budget, or a
+                    # full cache
+                    rem = remaining - active.astype(jnp.int32)
+                    act = (
+                        active
+                        & (next_tokens != eos)
+                        & (rem > 0)
+                        & (new_cache["length"] < max_seq_len)
+                    )
+                    return new_cache, next_tokens, act, rem
+
+                def dead(_):
+                    return cache, tokens, active, remaining
+
+                # skip the whole forward once every slot in the chunk is
+                # done (mid-chunk tail steps used to run full dead steps)
+                cache, next_tokens, active, remaining = jax.lax.cond(
+                    jnp.any(active), live, dead, None)
                 return (cache, next_tokens, active, remaining, key), next_tokens
 
             (cache, tokens, active, remaining, key), toks = jax.lax.scan(
@@ -856,9 +868,22 @@ class ServingEngine:
 
             def body(carry, _):
                 cache, history, tokens, active, remaining = carry
+
+                def live(_):
+                    return one_step(params, cache, history, tokens,
+                                    active, remaining, state["temps"],
+                                    state["top_ps"])
+
+                def dead(_):
+                    B = tokens.shape[0]
+                    return (cache, history, tokens, active, remaining,
+                            jnp.zeros((B, k + 1), jnp.int32),
+                            jnp.zeros((B, k + 1), bool))
+
+                # skip the verify forward entirely once every slot is
+                # done (tail steps of a chunk after the last finish)
                 cache, history, tokens, active, remaining, g, emit = (
-                    one_step(params, cache, history, tokens, active,
-                             remaining, state["temps"], state["top_ps"]))
+                    jax.lax.cond(jnp.any(active), live, dead, None))
                 return (cache, history, tokens, active, remaining), (g, emit)
 
             (cache, history, tokens, active, remaining), (gs, emits) = (
