@@ -62,7 +62,8 @@ def main():
         params, cfg, calib)
 
     def make(bf16_qk, fuse_l, store_p, block_imgs=4, int8_o=False,
-             approx_gelu=False, fast_ln=False, block_rows=1056):
+             approx_gelu=False, fast_ln=False, block_rows=1056,
+             bf16_scores=False, ph_exp2=False, fc1_w_outer=False):
         @jax.jit
         def run(packed, qproj, scales, stack):
             def body(acc, img):
@@ -72,7 +73,8 @@ def main():
                     fuse_l=fuse_l, store_p=store_p,
                     attn_block_imgs=block_imgs, int8_o=int8_o,
                     approx_gelu=approx_gelu, fast_ln=fast_ln,
-                    block_rows=block_rows)
+                    block_rows=block_rows, bf16_scores=bf16_scores,
+                    ph_exp2=ph_exp2, fc1_w_outer=fc1_w_outer)
                 out = mlp_projector_forward_int8(qproj, f)
                 return acc + jnp.sum(out.astype(jnp.float32)), None
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), stack)
@@ -88,8 +90,11 @@ def main():
         ag = bool(int(parts[6])) if len(parts) > 6 else False
         fln = bool(int(parts[7])) if len(parts) > 7 else False
         br = int(parts[8]) if len(parts) > 8 else 1056
+        b16s = bool(int(parts[9])) if len(parts) > 9 else False
+        phe = bool(int(parts[10])) if len(parts) > 10 else False
+        fwo = bool(int(parts[11])) if len(parts) > 11 else False
         variants[name] = make(bool(int(a)), bool(int(b)), bool(int(c)),
-                              g, i8o, ag, fln, br)
+                              g, i8o, ag, fln, br, b16s, phe, fwo)
 
     for f in variants.values():
         float(f(packed, qproj, scales, stack))

@@ -218,7 +218,8 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
                      aux_scr=None, *,
                      num_heads: int, kv_len: int, static_smax: bool = False,
                      fuse_l: bool = False, bf16_qk: bool = False,
-                     store_p: bool = False):
+                     store_p: bool = False, bf16_scores: bool = False,
+                     ph_exp2: bool = False):
     """Merged QKV projection + int8 encoder attention for G images.
 
     One kernel per layer-half keeps q/k/v entirely in VMEM (never written
@@ -310,7 +311,14 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
     # bf16_qk alone also pre-shifts: its scratch is bf16, and storing
     # large-magnitude base-2 scores unshifted would burn the 8-bit
     # mantissa's absolute precision before the consume exp2.
-    pre_shifted = fuse_l or store_p or bf16_qk
+    # bf16_scores: int8 QK dots (unlike bf16_qk) but the score SCRATCH is
+    # bf16 — the round-4 probe attributed ~1.1-1.2 ms/layer to f32 score
+    # convert+store VREG/VMEM traffic in the dots phase; storing the
+    # pre-shifted base-2 scores bf16 halves those bytes in BOTH phases
+    # while keeping the dots/consume MXU/VPU balance that store_p broke
+    # (store_p moved exp2 into the MXU-heavy dots phase and measured -4%
+    # in the pipeline despite winning kernel isolation).
+    pre_shifted = fuse_l or store_p or bf16_qk or bf16_scores
     shift = sc_ref[3, 0] if pre_shifted else 0.0
     maskrow = None
     if not packed and kv_len < Sp:
@@ -379,16 +387,24 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
                     jnp.maximum(acc[:, dh:dh + 1], 1e-30), approx=True)
                 emit(h, acc[:, :dh] * linv)
             return
-        sc = s_scr[slot]
         if fuse_l:
             # Scores arrive pre-shifted and pre-masked: one exp2 + bf16
             # cast is the whole softmax numerator pass. The denominator
             # comes out of the PV dot's ones column (lane dh of each
             # head's 128-lane group in aux_scr) — no VPU reduction.
-            pb = jnp.exp2(sc).astype(jnp.bfloat16)
+            # ph_exp2: slice the scratch ref PER HEAD and exp2 each slice
+            # right before its PV dot, instead of one monolithic
+            # (H*Sp, Sp) exp2 pass up front — gives Mosaic head-granular
+            # VPU/MXU units to interleave (exp2 of head h+1 against the
+            # PV dot of head h).
+            pb = (None if ph_exp2
+                  else jnp.exp2(s_scr[slot]).astype(jnp.bfloat16))
             for h in range(num_heads):
+                ph = (jnp.exp2(s_scr[slot, pl.ds(h * Sp, Sp), :])
+                      .astype(jnp.bfloat16)
+                      if ph_exp2 else pb[h * Sp:(h + 1) * Sp, :])
                 acc = jax.lax.dot_general(
-                    pb[h * Sp:(h + 1) * Sp, :],
+                    ph,
                     aux_scr[slot, :, h * 128:(h + 1) * 128],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -397,6 +413,7 @@ def _qkv_attn_kernel(xq_ref, w_ref, ws_ref, b_ref, sc_ref, o_ref, s_scr,
                     jnp.maximum(acc[:, dh:dh + 1], 1e-30), approx=True)
                 emit(h, acc[:, :dh] * linv)
             return
+        sc = s_scr[slot]
         if packed:
             m = sc_ref[3, 0]
             p = jnp.exp2(sc - m)
@@ -569,29 +586,46 @@ def oproj_ln_quant(o, x_res, wq, ws, bias, ln_w, ln_b, s1, s2, eps,
 
 
 def fc1_gelu_quant(xq, wq, ws, bias, s2, s3, act, *, block_rows: int = 1056,
-                   block_cols: int = 2048, interpret: Optional[bool] = None):
+                   block_cols: int = 2048, w_outer: bool = False,
+                   interpret: Optional[bool] = None):
     """hq = quant(act(xq @ wq * ws * s2 + b), s3) -> (M, N) int8.
 
     N is blocked so the (bm, bn) f32 pre-activation stays small in VMEM —
-    a full (bm, 4096) f32 intermediate measurably slows the kernel."""
+    a full (bm, 4096) f32 intermediate measurably slows the kernel.
+
+    ``w_outer`` iterates the N (weight-column) axis in the OUTER grid dim
+    so each (K, bn) weight block is fetched once per sweep instead of once
+    per row block: at ViT-L encode shapes the default order streams w1
+    M/bm times (~256 MB/layer at batch 256) while w_outer streams the
+    int8 activation N/bn times (~138 MB) — roughly half the HBM traffic
+    of this kernel."""
     M, K = xq.shape
     N = wq.shape[-1]
     bm = _row_block(M, block_rows)
     bn = block_cols if N % block_cols == 0 else N
     kern = functools.partial(_fc1_kernel, act=act)
     smem2 = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    if w_outer:
+        # grid dims are (j=N-block, i=row-block): inner i sweeps rows with
+        # the weight block held resident.
+        ix, iw, io = (lambda j, i: (i, 0), lambda j, i: (0, j),
+                      lambda j, i: (i, j))
+        grid = (N // bn, M // bm)
+    else:
+        ix, iw, io = (lambda i, j: (i, 0), lambda i, j: (0, j),
+                      lambda i, j: (i, j))
+        grid = (M // bm, N // bn)
     return pl.pallas_call(
         kern,
-        grid=(M // bm, N // bn),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, K), ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), iw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), iw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), iw, memory_space=pltpu.VMEM),
             smem2, smem2,
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, bn), io, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.int8),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -734,7 +768,8 @@ def qkv_attn_int8(xq3, wq, ws, bias, scales6, num_heads, kv_len,
                   *, out_dtype=jnp.bfloat16, block_imgs: int = 8,
                   static_smax: bool = False, allow_packed: bool = True,
                   fuse_l: bool = True, bf16_qk: bool = False,
-                  store_p: bool = False,
+                  store_p: bool = False, bf16_scores: bool = False,
+                  ph_exp2: bool = False,
                   interpret: Optional[bool] = None):
     """xq3 (B, Sp, D) int8 -> attention output (B, Sp, D) bf16, with the
     QKV projection and int8 attention fused into one kernel.
@@ -754,6 +789,10 @@ def qkv_attn_int8(xq3, wq, ws, bias, scales6, num_heads, kv_len,
               and D // num_heads < 128)
     bf16_qk = bf16_qk and static_smax and not packed
     store_p = store_p and static_smax and fuse_l
+    # bf16 score scratch requires the pre-shifted store (static stabilizer
+    # folded into the dots-phase FMA), hence static_smax; the packed path
+    # keeps its own f32 main/tail scratch layout.
+    bf16_scores = bf16_scores and static_smax and not packed
     if out_dtype == jnp.int8 and not (fuse_l or store_p):
         # Only the fuse_l/store_p consume paths run the quantize epilogue
         # (emit); the packed/generic paths astype() raw bf16-magnitude
@@ -766,12 +805,14 @@ def qkv_attn_int8(xq3, wq, ws, bias, scales6, num_heads, kv_len,
     kern = functools.partial(_qkv_attn_kernel, num_heads=num_heads,
                              kv_len=kv_len, static_smax=static_smax,
                              fuse_l=fuse_l, bf16_qk=bf16_qk,
-                             store_p=store_p)
+                             store_p=store_p, bf16_scores=bf16_scores,
+                             ph_exp2=ph_exp2)
     spec = pl.BlockSpec((G, Sp, D), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM(
         (2, num_heads * Sp, 256 if packed else Sp),
-        jnp.bfloat16 if (bf16_qk or store_p) else jnp.float32)]
+        jnp.bfloat16 if (bf16_qk or store_p or bf16_scores)
+        else jnp.float32)]
     if packed:
         scratch.append(
             pltpu.VMEM((2, Sp, num_heads * (Sp - 256)), jnp.float32))
@@ -1016,6 +1057,18 @@ def vit_forward_int8_fused(
     bf16_qk: bool = False,
     fuse_l: bool = True,
     store_p: bool = False,
+    # bf16_scores — int8 QK dots with a bf16 score scratch (pre-shifted
+    # store): halves the score-traffic term the round-4 probe measured at
+    # ~1.2 ms/layer without bf16_qk's dot swap or store_p's phase
+    # imbalance. Round-5 pipeline A/B: see docs/known_issues.md.
+    bf16_scores: bool = False,
+    # ph_exp2 — per-head exp2 slices in the consume phase (see kernel).
+    ph_exp2: bool = False,
+    # fc1_w_outer — fc1 weight blocks ride the outer grid dim (fetched
+    # once per sweep instead of once per row block; see fc1_gelu_quant).
+    # Round-5 pipeline A/B: 1,545.6 -> 1,554.4 img/s (+0.6%, and ~180 MB
+    # less HBM traffic per layer at batch 256). DEFAULT ON.
+    fc1_w_outer: bool = True,
     attn_block_imgs: int = 4,
     # int8_o: the attention epilogue quantizes its output by the static
     # attn-out scale (calibration col 1), the o-proj kernel consumes the
@@ -1127,6 +1180,7 @@ def vit_forward_int8_fused(
                               static_smax=static_smax, allow_packed=False,
                               bf16_qk=static_smax and bf16_qk,
                               fuse_l=fuse_l, store_p=store_p,
+                              bf16_scores=bf16_scores, ph_exp2=ph_exp2,
                               out_dtype=(jnp.int8 if use_int8_o
                                          else xc.dtype),
                               interpret=interpret)
@@ -1139,6 +1193,7 @@ def vit_forward_int8_fused(
                    else cfg.hidden_act)
             hq = fc1_gelu_quant(xq2, w1, w1_s[0], b1[0], sc[2], sc[3],
                                 act, block_rows=block_rows,
+                                w_outer=fc1_w_outer,
                                 interpret=interpret)
             xn, xqn = fc2_res_ln_quant(hq, xp, w2, w2_s[0], b2[0],
                                        ln1nw, ln1nb, sc[3], s0n, eps,

@@ -233,6 +233,49 @@ def test_fused_packed_key_split_257_tokens():
     assert _cosine(a, b) > 0.9999
 
 
+def test_fused_round5_variant_flags(small_tower):
+    """Round-5 measured-variant flags stay parity-correct: bf16_scores
+    (int8 QK dots + bf16 pre-shifted score scratch) and ph_exp2 (per-head
+    exp2 slices in the consume phase) vs the shipping fuse_l path.
+    Both measured as pipeline washes (see docs/known_issues.md) and are
+    kept behind flags for the probe record."""
+    cfg, params, pixels, _ = small_tower
+    scales8 = calibrate_vit_int8_fused(params, cfg, pixels)
+    packed = pack_vit_int8_fused(params)
+    base = vit_forward_int8_fused(packed, cfg, pixels, scales8)
+    b16s = vit_forward_int8_fused(packed, cfg, pixels, scales8,
+                                  bf16_scores=True)
+    phe = vit_forward_int8_fused(packed, cfg, pixels, scales8,
+                                 ph_exp2=True)
+    both = vit_forward_int8_fused(packed, cfg, pixels, scales8,
+                                  bf16_scores=True, ph_exp2=True)
+    # bf16 score rounding costs ~3e-4 relative per weight; contract holds
+    assert _cosine(b16s, base) > 0.999
+    assert _cosine(both, base) > 0.999
+    # ph_exp2 only reorders the exp2 slices — same math, near-identical
+    assert _cosine(phe, base) > 0.9999
+
+
+def test_fc1_w_outer_bitwise(small_tower):
+    """fc1's weight-outer grid order (w block fetched once per column
+    sweep instead of once per row block — round-5 default) is a pure
+    iteration-order change: bitwise-equal int8 output."""
+    from multimeditron_tpu.ops.vit_int8_fused import fc1_gelu_quant
+
+    cfg, *_ = small_tower
+    rng = np.random.default_rng(11)
+    M, K, N = 32, cfg.hidden_size, cfg.intermediate_size
+    xq = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 128, (K, N)), jnp.int8)
+    ws = jnp.asarray(rng.uniform(0.001, 0.01, (N,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(N,)) * 0.01, jnp.float32)
+    a = fc1_gelu_quant(xq, wq, ws, b, 0.04, 0.05, "quick_gelu",
+                       block_rows=8, block_cols=N // 2, w_outer=False)
+    bo = fc1_gelu_quant(xq, wq, ws, b, 0.04, 0.05, "quick_gelu",
+                        block_rows=8, block_cols=N // 2, w_outer=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(bo))
+
+
 def test_fused_outlier_channel_fidelity():
     """Real CLIP-L weights have per-channel outliers (the known failure
     mode of static W8A8). Inject heavy-tailed channel scales into a
