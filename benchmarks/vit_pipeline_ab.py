@@ -63,7 +63,8 @@ def main():
 
     def make(bf16_qk, fuse_l, store_p, block_imgs=4, int8_o=False,
              approx_gelu=False, fast_ln=False, block_rows=1056,
-             bf16_scores=False, ph_exp2=False, fc1_w_outer=False):
+             bf16_scores=False, ph_exp2=False, fc1_w_outer=False,
+             fc1_block_cols=2048):
         @jax.jit
         def run(packed, qproj, scales, stack):
             def body(acc, img):
@@ -74,7 +75,8 @@ def main():
                     attn_block_imgs=block_imgs, int8_o=int8_o,
                     approx_gelu=approx_gelu, fast_ln=fast_ln,
                     block_rows=block_rows, bf16_scores=bf16_scores,
-                    ph_exp2=ph_exp2, fc1_w_outer=fc1_w_outer)
+                    ph_exp2=ph_exp2, fc1_w_outer=fc1_w_outer,
+                    fc1_block_cols=fc1_block_cols)
                 out = mlp_projector_forward_int8(qproj, f)
                 return acc + jnp.sum(out.astype(jnp.float32)), None
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), stack)
@@ -93,8 +95,9 @@ def main():
         b16s = bool(int(parts[9])) if len(parts) > 9 else False
         phe = bool(int(parts[10])) if len(parts) > 10 else False
         fwo = bool(int(parts[11])) if len(parts) > 11 else False
+        fbc = int(parts[12]) if len(parts) > 12 else 2048
         variants[name] = make(bool(int(a)), bool(int(b)), bool(int(c)),
-                              g, i8o, ag, fln, br, b16s, phe, fwo)
+                              g, i8o, ag, fln, br, b16s, phe, fwo, fbc)
 
     for f in variants.values():
         float(f(packed, qproj, scales, stack))

@@ -1069,6 +1069,13 @@ def vit_forward_int8_fused(
     # Round-5 pipeline A/B: 1,545.6 -> 1,554.4 img/s (+0.6%, and ~180 MB
     # less HBM traffic per layer at batch 256). DEFAULT ON.
     fc1_w_outer: bool = True,
+    # fc1_block_cols — fc1's N-block width (bn). With w_outer, bn=N makes
+    # fc1 a single sweep (weight resident AND activation read once) at
+    # the cost of a (bm, N) f32 pre-activation in VMEM. Round-5 A/B under
+    # w_outer: 4096 is a wash (1,558.8 vs 1,559.8 img/s), 1024 slightly
+    # worse (1,554.3) — the duplicate activation read was already
+    # overlapped; keep 2048.
+    fc1_block_cols: int = 2048,
     attn_block_imgs: int = 4,
     # int8_o: the attention epilogue quantizes its output by the static
     # attn-out scale (calibration col 1), the o-proj kernel consumes the
@@ -1194,6 +1201,7 @@ def vit_forward_int8_fused(
             hq = fc1_gelu_quant(xq2, w1, w1_s[0], b1[0], sc[2], sc[3],
                                 act, block_rows=block_rows,
                                 w_outer=fc1_w_outer,
+                                block_cols=fc1_block_cols,
                                 interpret=interpret)
             xn, xqn = fc2_res_ln_quant(hq, xp, w2, w2_s[0], b2[0],
                                        ln1nw, ln1nb, sc[3], s0n, eps,
