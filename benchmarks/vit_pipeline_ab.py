@@ -26,7 +26,9 @@ def main():
     ap.add_argument(
         "--variants",
         default="old:0:0:0,fuse:0:1:0,trio:1:1:1",
-        help="name:bf16_qk:fuse_l:store_p[:block_imgs] comma list")
+        help="name:bf16_qk:fuse_l:store_p[:block_imgs[:int8_o[:approx_gelu"
+             "[:fast_ln[:block_rows[:bf16_scores[:ph_exp2[:fc1_w_outer"
+             "[:fc1_block_cols]]]]]]]]] comma list")
     args = ap.parse_args()
 
     import jax
